@@ -1,0 +1,19 @@
+import os
+import sys
+
+# Multi-chip sharding tests run on a virtual 8-device CPU mesh (SURVEY.md §4:
+# the standard fake backend for pod code without a pod). Must be set before
+# jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    (os.environ.get("XLA_FLAGS", "") +
+     " --xla_force_host_platform_device_count=8").strip())
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VECTOR_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vectors")
+
+
+def vector(name):
+    return os.path.join(VECTOR_DIR, name)
