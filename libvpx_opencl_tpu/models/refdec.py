@@ -970,21 +970,51 @@ class RefDecoder:
 
     # -- reconstruction ----------------------------------------------------
 
-    def _reconstruct(self):
+    def _detokenize_all(self):
+        """Token decode for the whole frame (entropy-only; no pixel deps).
+
+        Mirrors the per-partition row round-robin of decodframe.c:1112-1129.
+        Fills self.qcoeff [R,C,25,16] and self.eobs [R,C,25]; updates
+        self.skip where eobtotal==0 (decode_macroblock decodframe.c:119-130).
+        """
         R, C = self.mb_rows, self.mb_cols
-        self.cur = FrameBuffer(self.w, self.h)
-        self.cur.setup_intra_recon()
-        dq = {}
-        base_dq = dequant_factors(self.base_qindex, self.y1dc_d, self.y2dc_d,
-                                  self.y2ac_d, self.uvdc_d, self.uvac_d)
+        self.qcoeff = np.zeros((R, C, 25, 16), dtype=np.int32)
+        self.eobs = np.zeros((R, C, 25), dtype=np.int32)
         nparts = len(self.bool_parts)
         above_ctx = np.zeros((C, 9), dtype=np.int32)
         for r in range(R):
             left_ctx = np.zeros(9, dtype=np.int32)
             bc = self.bool_parts[r % nparts]
             for c in range(C):
-                self._decode_recon_mb(r, c, bc, above_ctx[c], left_ctx,
-                                      base_dq, dq)
+                mode = int(self.mode[r + 1, c + 1])
+                has_y2 = mode not in (B_PRED, SPLITMV)
+                if self.skip[r, c]:
+                    # vp8_reset_mb_tokens_context (detokenize.c:70-84)
+                    above_ctx[c, :8] = 0
+                    left_ctx[:8] = 0
+                    if has_y2:
+                        above_ctx[c, 8] = 0
+                        left_ctx[8] = 0
+                else:
+                    q, eobs, eobtotal = self._decode_mb_tokens(
+                        bc, has_y2, above_ctx[c], left_ctx,
+                        self.fc.coef_probs)
+                    self.qcoeff[r, c] = q
+                    self.eobs[r, c] = eobs
+                    if eobtotal == 0:
+                        self.skip[r, c] = 1
+
+    def _reconstruct(self):
+        R, C = self.mb_rows, self.mb_cols
+        self._detokenize_all()
+        self.cur = FrameBuffer(self.w, self.h)
+        self.cur.setup_intra_recon()
+        dq = {}
+        base_dq = dequant_factors(self.base_qindex, self.y1dc_d, self.y2dc_d,
+                                  self.y2ac_d, self.uvdc_d, self.uvac_d)
+        for r in range(R):
+            for c in range(C):
+                self._decode_recon_mb(r, c, base_dq, dq)
             self.cur.extend_mb_row(r)
 
     def _mb_dequant(self, r, c, base_dq, cache):
@@ -1004,27 +1034,13 @@ class RefDecoder:
         cache[seg] = v
         return v
 
-    def _decode_recon_mb(self, r, c, bc, actx, lctx, base_dq, dqcache):
-        """decode_macroblock (decodframe.c:112-305)."""
+    def _decode_recon_mb(self, r, c, base_dq, dqcache):
+        """decode_macroblock pixel path (decodframe.c:112-305)."""
         pr, pc = r + 1, c + 1
         mode = int(self.mode[pr, pc])
-        has_y2 = mode not in (B_PRED, SPLITMV)
         skip = int(self.skip[r, c])
-        if skip:
-            # vp8_reset_mb_tokens_context (detokenize.c:70-84)
-            actx[:8] = 0
-            lctx[:8] = 0
-            if has_y2:
-                actx[8] = 0
-                lctx[8] = 0
-            qcoeff = np.zeros((25, 16), dtype=np.int32)
-            eobs = [0] * 25
-        else:
-            qcoeff, eobs, eobtotal = self._decode_mb_tokens(
-                bc, has_y2, actx, lctx, self.fc.coef_probs)
-            if eobtotal == 0:
-                skip = 1
-                self.skip[r, c] = 1
+        qcoeff = self.qcoeff[r, c].copy()
+        eobs = self.eobs[r, c]
 
         dq_y1, dq_y2, dq_uv = self._mb_dequant(r, c, base_dq, dqcache)
 

@@ -1,0 +1,122 @@
+"""Batched integer transforms for the TPU decode path.
+
+Bit-exact vectorized versions of the reference's scalar transform kernels
+(vp8/common/idctllm.c, dequantize.c, idct_blk.c), formulated as whole-frame
+array ops so XLA can tile them across the VPU: every 4x4 block in the frame
+is transformed in one fused pass (TPU plan of SURVEY.md §2.1 "GPU
+dequant+IDCT" — one kernel for all MBs, no inter-block dependencies).
+
+All math is int32 with explicit int16 wrapping where the C code stores to
+`short` (idctllm.c output[] / dqcoeff), which is required for bit-exactness
+on pathological high-magnitude coefficients.
+"""
+import jax.numpy as jnp
+
+COSPI8SQRT2MINUS1 = 20091
+SINPI8SQRT2 = 35468
+
+
+def _s16(v):
+    """Wrap int32 to int16 range (C short store)."""
+    return ((v & 0xFFFF) ^ 0x8000) - 0x8000
+
+
+def idct4x4_batch(blocks):
+    """vp8_short_idct4x4llm_c (idctllm.c:28-119) over [..., 4, 4] int32
+    dequantized coefficients; returns [..., 4, 4] int32 residual."""
+    x = blocks
+    # vertical pass (C first loop: columns, stride-4 reads)
+    a1 = x[..., 0, :] + x[..., 2, :]
+    b1 = x[..., 0, :] - x[..., 2, :]
+    t1 = (x[..., 1, :] * SINPI8SQRT2) >> 16
+    t2 = x[..., 3, :] + ((x[..., 3, :] * COSPI8SQRT2MINUS1) >> 16)
+    c1 = t1 - t2
+    t1 = x[..., 1, :] + ((x[..., 1, :] * COSPI8SQRT2MINUS1) >> 16)
+    t2 = (x[..., 3, :] * SINPI8SQRT2) >> 16
+    d1 = t1 + t2
+    tmp = jnp.stack([_s16(a1 + d1), _s16(b1 + c1),
+                     _s16(b1 - c1), _s16(a1 - d1)], axis=-2)
+    # horizontal pass (C second loop: rows)
+    a1 = tmp[..., 0] + tmp[..., 2]
+    b1 = tmp[..., 0] - tmp[..., 2]
+    t1 = (tmp[..., 1] * SINPI8SQRT2) >> 16
+    t2 = tmp[..., 3] + ((tmp[..., 3] * COSPI8SQRT2MINUS1) >> 16)
+    c1 = t1 - t2
+    t1 = tmp[..., 1] + ((tmp[..., 1] * COSPI8SQRT2MINUS1) >> 16)
+    t2 = (tmp[..., 3] * SINPI8SQRT2) >> 16
+    d1 = t1 + t2
+    out = jnp.stack([_s16((a1 + d1 + 4) >> 3), _s16((b1 + c1 + 4) >> 3),
+                     _s16((b1 - c1 + 4) >> 3), _s16((a1 - d1 + 4) >> 3)],
+                    axis=-1)
+    return out
+
+
+def inv_walsh_batch(blocks):
+    """vp8_short_inv_walsh4x4_c (idctllm.c:140-192) over [..., 4, 4] int32;
+    returns [..., 16] DC values in block raster order."""
+    x = blocks
+    a1 = x[..., 0, :] + x[..., 3, :]
+    b1 = x[..., 1, :] + x[..., 2, :]
+    c1 = x[..., 1, :] - x[..., 2, :]
+    d1 = x[..., 0, :] - x[..., 3, :]
+    tmp = jnp.stack([_s16(a1 + b1), _s16(c1 + d1),
+                     _s16(a1 - b1), _s16(d1 - c1)], axis=-2)
+    a1 = tmp[..., 0] + tmp[..., 3]
+    b1 = tmp[..., 1] + tmp[..., 2]
+    c1 = tmp[..., 1] - tmp[..., 2]
+    d1 = tmp[..., 0] - tmp[..., 3]
+    out = jnp.stack([_s16((a1 + b1 + 3) >> 3), _s16((c1 + d1 + 3) >> 3),
+                     _s16((a1 - b1 + 3) >> 3), _s16((d1 - c1 + 3) >> 3)],
+                    axis=-1)
+    return out.reshape(*out.shape[:-2], 16)
+
+
+def compute_residuals(qcoeff, eobs, dq_y1, dq_y2, dq_uv, has_y2):
+    """Whole-frame dequant + WHT + IDCT.
+
+    qcoeff: [N, 25, 16] int32 (zig-zag-undone raster coefficient order)
+    eobs:   [N, 25] int32
+    dq_*:   [N, 2] int32 (dc, ac) per-MB dequant factors
+    has_y2: [N] bool
+    Returns (resid_y [N,16,4,4], resid_u [N,4,4,4], resid_v [N,4,4,4]) int32.
+
+    Mirrors decode_macroblock's residual path (decodframe.c:247-305):
+    Y2 inverse WHT feeds Y-block DCs with the dc-dequant override
+    (dequant_y1_dc[0]=1, decodframe.c:92), full IDCT everywhere (a dc-only
+    block's full IDCT equals the reference's vp8_dc_only_idct_add fast path).
+    """
+    n = qcoeff.shape[0]
+    # --- Y2 (block 24) ---
+    dqv_y2 = jnp.concatenate([dq_y2[:, :1], jnp.repeat(dq_y2[:, 1:], 15, 1)],
+                             axis=1)
+    y2 = _s16(qcoeff[:, 24, :] * dqv_y2)
+    wht_full = inv_walsh_batch(y2.reshape(n, 4, 4))
+    # eob<=1 fast path (vp8_short_inv_walsh4x4_1_c): dc replicated
+    dc1 = _s16((_s16(qcoeff[:, 24, 0] * dq_y2[:, 0]) + 3) >> 3)
+    wht = jnp.where((eobs[:, 24] > 1)[:, None], wht_full, dc1[:, None])
+    # --- Y blocks ---
+    dqv_y1 = jnp.concatenate([dq_y1[:, :1], jnp.repeat(dq_y1[:, 1:], 15, 1)],
+                             axis=1)
+    yq = qcoeff[:, :16, :]
+    dq_y = _s16(yq * dqv_y1[:, None, :])
+    # has_y2: dc comes from WHT output directly (dequant factor 1)
+    dc_from_wht = jnp.where(has_y2[:, None], wht, dq_y[:, :, 0])
+    dq_y = dq_y.at[:, :, 0].set(dc_from_wht)
+    resid_y = idct4x4_batch(dq_y.reshape(n, 16, 4, 4))
+    # --- UV blocks ---
+    dqv_uv = jnp.concatenate([dq_uv[:, :1], jnp.repeat(dq_uv[:, 1:], 15, 1)],
+                             axis=1)
+    uvq = _s16(qcoeff[:, 16:24, :] * dqv_uv[:, None, :])
+    resid_uv = idct4x4_batch(uvq.reshape(n, 8, 4, 4))
+    return resid_y, resid_uv[:, :4], resid_uv[:, 4:]
+
+
+def blocks_to_plane(blocks, R, C, bw):
+    """Scatter per-MB 4x4 blocks into a plane image.
+
+    blocks: [R*C, nb, 4, 4] where nb = (bw/4)^2 blocks in raster order.
+    Returns [R*bw, C*bw]."""
+    g = bw // 4
+    x = blocks.reshape(R, C, g, g, 4, 4)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # R, g, 4, C, g, 4
+    return x.reshape(R * bw, C * bw)

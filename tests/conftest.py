@@ -4,11 +4,11 @@ import sys
 # Multi-chip sharding tests run on a virtual 8-device CPU mesh (SURVEY.md §4:
 # the standard fake backend for pod code without a pod). Must be set before
 # jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    (os.environ.get("XLA_FLAGS", "") +
-     " --xla_force_host_platform_device_count=8").strip())
+# Force CPU: the environment exports JAX_PLATFORMS=axon (the tunneled real
+# TPU); unit tests must not compile through the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,0 +1,25 @@
+"""TPU-path decoder conformance: bit-exact vs reference vpxdec --md5.
+
+Runs the full device pipeline (batched IDCT/MC + wavefront intra + wavefront
+loop filter) on the CPU XLA backend; the same jitted program runs unchanged
+on the TPU (bench.py).
+"""
+import pytest
+
+from conftest import vector
+from libvpx_opencl_tpu.models.tpu_decoder import decode_ivf_tpu
+from libvpx_opencl_tpu.utils.md5 import frame_md5, load_golden_md5s
+
+# kf_cif/part4_cif share kf_qcif/inter_cif geometries' logic; keep the CI
+# set small — the full 7-stream sweep runs in test_refdec + bench preflight.
+STREAMS = ["kf_qcif", "inter_qcif", "odd_65x49", "lowrate_qcif"]
+
+
+@pytest.mark.parametrize("name", STREAMS)
+def test_tpu_decoder_bit_exact(name):
+    golden = load_golden_md5s(vector(f"{name}.ivf.md5"))
+    n = 0
+    for i, (y, u, v) in enumerate(decode_ivf_tpu(vector(f"{name}.ivf"))):
+        assert frame_md5(y, u, v) == golden[i], f"{name} frame {i}"
+        n += 1
+    assert n == len(golden)
