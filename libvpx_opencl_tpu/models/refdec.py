@@ -411,6 +411,11 @@ class FrameContext:
 class RefDecoder:
     """Bit-exact golden VP8 decoder (single stream, show-frame output)."""
 
+    #: when True (and the toolchain is available) the serial entropy layer
+    #: (mode/MV + token decode) runs in the native C++ runtime
+    #: (native/vp8_entropy.cpp); the pure-Python layer is the golden model.
+    use_native = False
+
     def __init__(self):
         self.w = self.h = 0
         self.fc = FrameContext()
@@ -472,6 +477,7 @@ class RefDecoder:
         nparts = 1 << log2_parts
         part_data = data[3 + part0_size if frame_type else 10 + part0_size:]
         parts = []
+        part_bytes = []
         off = 3 * (nparts - 1)
         for i in range(nparts):
             if i < nparts - 1:
@@ -479,9 +485,11 @@ class RefDecoder:
                      (part_data[i * 3 + 2] << 16)
             else:
                 sz = len(part_data) - off
-            parts.append(BoolDecoder(part_data[off:off + sz]))
+            part_bytes.append(bytes(part_data[off:off + sz]))
+            parts.append(BoolDecoder(part_bytes[-1]))
             off += sz
         self.bool_parts = parts
+        self.part_bytes = part_bytes
         # quantizers (decodframe.c:926-943)
         self.base_qindex = bc.read_literal(7)
         self.y1dc_d = self._get_delta_q(bc, self.y1dc_d)
@@ -603,6 +611,13 @@ class RefDecoder:
         self.partitioning = np.zeros((R, C), dtype=np.int32)
         self.need_clamp = np.zeros((R, C), dtype=np.int32)
         self.skip = np.zeros((R, C), dtype=np.int32)
+
+        if self.use_native:
+            from ..utils import native
+            lib = native.get_lib()
+            if lib is not None:
+                native.decode_modes_native(lib, bc, self)
+                return
 
         self.prob_skip_false = 0
         if self.mb_no_coeff_skip:
@@ -978,6 +993,12 @@ class RefDecoder:
         self.skip where eobtotal==0 (decode_macroblock decodframe.c:119-130).
         """
         R, C = self.mb_rows, self.mb_cols
+        if self.use_native:
+            from ..utils import native
+            lib = native.get_lib()
+            if lib is not None:
+                native.detokenize_native(lib, self)
+                return
         self.qcoeff = np.zeros((R, C, 25, 16), dtype=np.int32)
         self.eobs = np.zeros((R, C, 25), dtype=np.int32)
         nparts = len(self.bool_parts)

@@ -399,10 +399,12 @@ class DeviceFrame:
 class TPUDecoder(RefDecoder):
     """VP8 decoder with the pixel pipeline on the TPU.
 
-    Reuses RefDecoder's host entropy layer (headers, mode/MV, detokenize)
-    and replaces reconstruction + loop filter + borders with one jitted
-    device program per frame geometry.
+    Reuses RefDecoder's host entropy layer (headers, mode/MV, detokenize —
+    C++-accelerated by default) and replaces reconstruction + loop filter +
+    borders with one jitted device program per frame geometry.
     """
+
+    use_native = True
 
     def _alloc(self):
         super()._alloc()
@@ -457,29 +459,37 @@ class TPUDecoder(RefDecoder):
         intra = (ref_frame == INTRA_FRAME)
         ref_idx = np.clip(ref_frame - 1, 0, 2).astype(np.int32)
         bmodes = self.bmode[1:, 1:].reshape(N, 16).astype(np.int32)
-        qcoeff = self.qcoeff.reshape(N, 25, 16).astype(np.int32)
+        qcoeff = np.ascontiguousarray(self.qcoeff.reshape(N, 25, 16),
+                                      dtype=np.int16)
         eobs = self.eobs.reshape(N, 25).astype(np.int32)
         has_y2 = np.logical_and(mode != B_PRED, mode != SPLITMV)
 
-        # per-MB dequant vectors (mb_init_dequantizer, decodframe.c:67-109)
-        dq_y1 = np.zeros((N, 2), np.int32)
-        dq_y2 = np.zeros((N, 2), np.int32)
-        dq_uv = np.zeros((N, 2), np.int32)
-        seg_dq = {}
+        # per-MB dequant vectors (mb_init_dequantizer, decodframe.c:67-109):
+        # at most 4 segment variants, gathered by segment id
+        segs = self.seg_map.reshape(N)
         base_dq = dequant_factors(self.base_qindex, self.y1dc_d, self.y2dc_d,
                                   self.y2ac_d, self.uvdc_d, self.uvac_d)
-        segs = self.seg_map.reshape(N)
-        for n in range(N):
-            d = self._mb_dequant(n // C, n % C, base_dq, seg_dq)
-            dq_y1[n] = d[0]
-            dq_y2[n] = d[1]
-            dq_uv[n] = d[2]
+        if self.segmentation_enabled:
+            seg_dq = {}
+            per_seg = [self._mb_dequant_seg(s, base_dq, seg_dq)
+                       for s in range(4)]
+            tab = np.asarray(per_seg, np.int32)  # [4, 3, 2]
+            dq_y1 = tab[segs, 0]
+            dq_y2 = tab[segs, 1]
+            dq_uv = tab[segs, 2]
+        else:
+            dq_y1 = np.broadcast_to(np.asarray(base_dq[0], np.int32),
+                                    (N, 2)).copy()
+            dq_y2 = np.broadcast_to(np.asarray(base_dq[1], np.int32),
+                                    (N, 2)).copy()
+            dq_uv = np.broadcast_to(np.asarray(base_dq[2], np.int32),
+                                    (N, 2)).copy()
 
         y_mv, uv_mv = self._prep_mvs()
 
         taps = P.BILINEAR_AS_SIXTAP if self.use_bilinear else P.SIXTAP_TABLE
 
-        # loop filter per-MB params
+        # loop filter per-MB params, all table gathers
         flevel = np.zeros(N, np.int32)
         hev_a = np.zeros(N, np.int32)
         mblim_a = np.zeros(N, np.int32)
@@ -489,18 +499,18 @@ class TPUDecoder(RefDecoder):
         if self.filter_level:
             lim, blim, mblim = self._lf_limits()
             lvl = self._lf_levels()
-            skip = self.skip.reshape(N)
-            for n in range(N):
-                m = int(mode[n])
-                mi = self._MODE_LF_LUT[m]
-                fl = int(lvl[int(segs[n]), int(ref_frame[n]), mi])
-                flevel[n] = fl
-                if fl:
-                    hev_a[n] = self._hev_threshold(fl)
-                    mblim_a[n] = mblim[fl]
-                    blim_a[n] = blim[fl]
-                    lim_a[n] = lim[fl]
-                noskip_a[n] = not (m not in (B_PRED, SPLITMV) and skip[n])
+            mode_lut = np.zeros(10, np.int32)
+            for k, v in self._MODE_LF_LUT.items():
+                mode_lut[k] = v
+            hev_lut = np.asarray([self._hev_threshold(f) for f in range(64)],
+                                 np.int32)
+            mi = mode_lut[mode]
+            flevel = lvl[segs, ref_frame, mi].astype(np.int32)
+            hev_a = hev_lut[flevel]
+            mblim_a = mblim[flevel].astype(np.int32)
+            blim_a = blim[flevel].astype(np.int32)
+            lim_a = lim[flevel].astype(np.int32)
+            noskip_a = ~(has_y2 & (self.skip.reshape(N) != 0))
 
         ref_y = jnp.stack([self.last.y, self.golden.y, self.altref.y])
         ref_u = jnp.stack([self.last.u, self.golden.u, self.altref.u])
@@ -512,84 +522,119 @@ class TPUDecoder(RefDecoder):
                 j(np.asarray(taps, np.int32)), j(flevel), j(mblim_a),
                 j(blim_a), j(lim_a), j(hev_a), j(noskip_a))
 
+    def _mb_dequant_seg(self, seg, base_dq, cache):
+        """Per-segment dequant variant (mb_init_dequantizer decodframe.c:74-89)."""
+        if self.mb_segment_abs_delta:
+            q = int(self.segment_feature_data[0, seg])
+        else:
+            q = min(127, max(0, self.base_qindex +
+                             int(self.segment_feature_data[0, seg])))
+        if q not in cache:
+            cache[q] = dequant_factors(q, self.y1dc_d, self.y2dc_d,
+                                       self.y2ac_d, self.uvdc_d, self.uvac_d)
+        return cache[q]
+
     def _prep_mvs(self):
         """Clamped per-tile MVs (the host half of vp8_build_inter_predictors_mb
-        reconinter.c:384-593: UMV clamping + chroma MV derivation)."""
+        reconinter.c:384-593: UMV clamping + chroma MV derivation).
+        Vectorized for the common non-SPLITMV case; SPLITMV MBs (rare) loop.
+        """
         R, C = self.mb_rows, self.mb_cols
         N = R * C
-        y_mv = np.zeros((N, 16, 2), np.int32)
-        uv_mv = np.zeros((N, 4, 2), np.int32)
+        mode = self.mode[1:, 1:].reshape(N)
+        inter = self.ref_frame[1:, 1:].reshape(N) != INTRA_FRAME
+        mrow = self.mv[1:, 1:, 0].reshape(N).astype(np.int64)
+        mcol = self.mv[1:, 1:, 1].reshape(N).astype(np.int64)
+        nclamp = self.need_clamp.reshape(N) != 0
+        cidx = np.arange(N) % C
+        ridx = np.arange(N) // C
+        m2l = -(cidx * 16) << 3
+        m2r = ((C - 1 - cidx) * 16) << 3
+        m2t = -(ridx * 16) << 3
+        m2b = ((R - 1 - ridx) * 16) << 3
         fullmask = 0xFFFFFFF8 if self.full_pixel else 0xFFFFFFFF
 
-        def fpmask(v):
-            return _s16(v & fullmask & 0xFFFF)
+        def fpmask_v(v):
+            w = (v & fullmask & 0xFFFF).astype(np.int64)
+            return np.where(w >= 0x8000, w - 0x10000, w)
 
-        for r in range(R):
-            for c in range(C):
-                n = r * C + c
-                pr, pc = r + 1, c + 1
-                if self.ref_frame[pr, pc] == INTRA_FRAME:
-                    continue
-                m2l = -(c * 16) << 3
-                m2r = ((C - 1 - c) * 16) << 3
-                m2t = -(r * 16) << 3
-                m2b = ((R - 1 - r) * 16) << 3
-                need_clamp = int(self.need_clamp[r, c])
+        def clamp_umv_v(row, col):
+            col = np.where(col < m2l - (19 << 3), m2l - (16 << 3),
+                           np.where(col > m2r + (18 << 3), m2r + (16 << 3),
+                                    col))
+            row = np.where(row < m2t - (19 << 3), m2t - (16 << 3),
+                           np.where(row > m2b + (18 << 3), m2b + (16 << 3),
+                                    row))
+            return row, col
 
-                def clamp_umv(mv):
-                    row, col = mv
-                    if col < m2l - (19 << 3):
-                        col = m2l - (16 << 3)
-                    elif col > m2r + (18 << 3):
-                        col = m2r + (16 << 3)
-                    if row < m2t - (19 << 3):
-                        row = m2t - (16 << 3)
-                    elif row > m2b + (18 << 3):
-                        row = m2b + (16 << 3)
-                    return row, col
+        crow, ccol = clamp_umv_v(mrow, mcol)
+        crow = np.where(nclamp, crow, mrow)
+        ccol = np.where(nclamp, ccol, mcol)
+        # chroma derivation (reconinter.c:418-424): toward-zero halving
+        def half_tz(v):
+            w = v + np.where(v >= 0, 1, -1)
+            return np.where(w >= 0, w // 2, -((-w) // 2))
 
-                def clamp_uvmv(mv):
-                    row, col = mv
-                    col = ((m2l - (16 << 3)) >> 1) \
-                        if 2 * col < m2l - (19 << 3) else col
-                    col = ((m2r + (16 << 3)) >> 1) \
-                        if 2 * col > m2r + (18 << 3) else col
-                    row = ((m2t - (16 << 3)) >> 1) \
-                        if 2 * row < m2t - (19 << 3) else row
-                    row = ((m2b + (16 << 3)) >> 1) \
-                        if 2 * row > m2b + (18 << 3) else row
-                    return row, col
+        urow = fpmask_v(half_tz(crow))
+        ucol = fpmask_v(half_tz(ccol))
 
-                if self.mode[pr, pc] != SPLITMV:
-                    mv = (int(self.mv[pr, pc, 0]), int(self.mv[pr, pc, 1]))
-                    if need_clamp:
-                        mv = clamp_umv(mv)
-                    y_mv[n, :, 0] = mv[0]
-                    y_mv[n, :, 1] = mv[1]
-                    cr = mv[0] + (1 if mv[0] >= 0 else -1)
-                    cc2 = mv[1] + (1 if mv[1] >= 0 else -1)
-                    cr = cr // 2 if cr >= 0 else -((-cr) // 2)
-                    cc2 = cc2 // 2 if cc2 >= 0 else -((-cc2) // 2)
-                    uv_mv[n, :, 0] = fpmask(cr)
-                    uv_mv[n, :, 1] = fpmask(cc2)
-                else:
-                    bmv = [(int(self.bmv[pr, pc, i, 0]),
-                            int(self.bmv[pr, pc, i, 1])) for i in range(16)]
-                    for i in range(16):
-                        m = clamp_umv(bmv[i]) if need_clamp else bmv[i]
-                        y_mv[n, i] = m
-                    for i in range(2):
-                        for jq in range(2):
-                            yoffs = i * 8 + jq * 2
-                            tr = sum(bmv[yoffs + k][0] for k in (0, 1, 4, 5))
-                            tc = sum(bmv[yoffs + k][1] for k in (0, 1, 4, 5))
-                            tr = tr + 4 + (-8 if tr < 0 else 0)
-                            tc = tc + 4 + (-8 if tc < 0 else 0)
-                            mr = fpmask(tr // 8 if tr >= 0 else -((-tr) // 8))
-                            mc = fpmask(tc // 8 if tc >= 0 else -((-tc) // 8))
-                            if need_clamp:
-                                mr, mc = clamp_uvmv((mr, mc))
-                            uv_mv[n, i * 2 + jq] = (mr, mc)
+        y_mv = np.zeros((N, 16, 2), np.int32)
+        uv_mv = np.zeros((N, 4, 2), np.int32)
+        y_mv[:, :, 0] = np.where(inter, crow, 0)[:, None]
+        y_mv[:, :, 1] = np.where(inter, ccol, 0)[:, None]
+        uv_mv[:, :, 0] = np.where(inter, urow, 0)[:, None]
+        uv_mv[:, :, 1] = np.where(inter, ucol, 0)[:, None]
+
+        # SPLITMV MBs: per-sub-block MVs (loop; typically few per frame)
+        for n in np.nonzero(mode == SPLITMV)[0]:
+            r, c = int(n) // C, int(n) % C
+            pr, pc = r + 1, c + 1
+            l2, r2, t2, b2 = int(m2l[n]), int(m2r[n]), int(m2t[n]), int(m2b[n])
+            nc = bool(nclamp[n])
+
+            def clamp_umv(mv):
+                row, col = mv
+                if col < l2 - (19 << 3):
+                    col = l2 - (16 << 3)
+                elif col > r2 + (18 << 3):
+                    col = r2 + (16 << 3)
+                if row < t2 - (19 << 3):
+                    row = t2 - (16 << 3)
+                elif row > b2 + (18 << 3):
+                    row = b2 + (16 << 3)
+                return row, col
+
+            def clamp_uvmv(mv):
+                row, col = mv
+                col = ((l2 - (16 << 3)) >> 1) if 2 * col < l2 - (19 << 3) \
+                    else col
+                col = ((r2 + (16 << 3)) >> 1) if 2 * col > r2 + (18 << 3) \
+                    else col
+                row = ((t2 - (16 << 3)) >> 1) if 2 * row < t2 - (19 << 3) \
+                    else row
+                row = ((b2 + (16 << 3)) >> 1) if 2 * row > b2 + (18 << 3) \
+                    else row
+                return row, col
+
+            def fpmask(v):
+                return _s16(v & fullmask & 0xFFFF)
+
+            bmv = [(int(self.bmv[pr, pc, i, 0]), int(self.bmv[pr, pc, i, 1]))
+                   for i in range(16)]
+            for i in range(16):
+                y_mv[n, i] = clamp_umv(bmv[i]) if nc else bmv[i]
+            for i in range(2):
+                for jq in range(2):
+                    yoffs = i * 8 + jq * 2
+                    tr = sum(bmv[yoffs + k][0] for k in (0, 1, 4, 5))
+                    tc = sum(bmv[yoffs + k][1] for k in (0, 1, 4, 5))
+                    tr = tr + 4 + (-8 if tr < 0 else 0)
+                    tc = tc + 4 + (-8 if tc < 0 else 0)
+                    mr = fpmask(tr // 8 if tr >= 0 else -((-tr) // 8))
+                    mc = fpmask(tc // 8 if tc >= 0 else -((-tc) // 8))
+                    if nc:
+                        mr, mc = clamp_uvmv((mr, mc))
+                    uv_mv[n, i * 2 + jq] = (mr, mc)
         return y_mv, uv_mv
 
 
