@@ -294,6 +294,7 @@ def decode_frame_device(R, C, simple_lf, do_lf,
                         qcoeff, eobs, dq_y1, dq_y2, dq_uv, has_y2,
                         intra, mode, uv_mode, bmodes,
                         y_mv, uv_mv, taps,
+                        sp_mb, sp_tile, sp_valid, sq_mb, sq_quad, sq_valid,
                         flevel, mblim_a, blim_a, lim_a, hev_a, noskip_a):
     """One frame: residuals → MC → intra wavefront → LF wavefront → extend."""
     N = R * C
@@ -307,35 +308,63 @@ def decode_frame_device(R, C, simple_lf, do_lf,
     resid_u = tf.blocks_to_plane(ru, R, C, 8)
     resid_v = tf.blocks_to_plane(rv, R, C, 8)
 
-    # 2. batched inter prediction
+    # 2. batched inter prediction — uniform-MV fast path: one (bw+5)^2
+    # gather per MB; SPLITMV sub-block MVs fixed up by a second, sparse pass
     mb = jnp.arange(N)
     mb_r, mb_c = mb // C, mb % C
-    # luma: N*16 tiles
-    bidx = jnp.arange(16)
-    base_y = (B + mb_r * 16)[:, None] + (bidx[None, :] >> 2) * 4
-    base_x = (B + mb_c * 16)[:, None] + (bidx[None, :] & 3) * 4
-    sy = (base_y + (y_mv[:, :, 0] >> 3)).reshape(-1)
-    sx = (base_x + (y_mv[:, :, 1] >> 3)).reshape(-1)
-    py = (y_mv[:, :, 0] & 7).reshape(-1)
-    px = (y_mv[:, :, 1] & 7).reshape(-1)
-    refs = jnp.repeat(ref_idx, 16)
-    tiles = P.mc_predict_tiles(ref_y, refs, jnp.stack([sy, sx], 1), px, py,
-                               taps)
-    pred_y = tf.blocks_to_plane(tiles.reshape(N, 16, 4, 4), R, C, 16)
-    # chroma: N*4 tiles per plane
-    qidx = jnp.arange(4)
-    cbase_y = (B2 + mb_r * 8)[:, None] + (qidx[None, :] >> 1) * 4
-    cbase_x = (B2 + mb_c * 8)[:, None] + (qidx[None, :] & 1) * 4
-    csy = (cbase_y + (uv_mv[:, :, 0] >> 3)).reshape(-1)
-    csx = (cbase_x + (uv_mv[:, :, 1] >> 3)).reshape(-1)
-    cpy = (uv_mv[:, :, 0] & 7).reshape(-1)
-    cpx = (uv_mv[:, :, 1] & 7).reshape(-1)
-    crefs = jnp.repeat(ref_idx, 4)
+    mv0 = y_mv[:, 0, :]
+    sy = B + mb_r * 16 + (mv0[:, 0] >> 3)
+    sx = B + mb_c * 16 + (mv0[:, 1] >> 3)
+    blocks = P.mc_predict_blocks(ref_y, ref_idx, jnp.stack([sy, sx], 1),
+                                 mv0[:, 1] & 7, mv0[:, 0] & 7, taps, 16)
+    pred_y = tf.mbs_to_plane(blocks, R, C, 16)
+    cmv0 = uv_mv[:, 0, :]
+    csy = B2 + mb_r * 8 + (cmv0[:, 0] >> 3)
+    csx = B2 + mb_c * 8 + (cmv0[:, 1] >> 3)
     cstarts = jnp.stack([csy, csx], 1)
-    utiles = P.mc_predict_tiles(ref_u, crefs, cstarts, cpx, cpy, taps)
-    vtiles = P.mc_predict_tiles(ref_v, crefs, cstarts, cpx, cpy, taps)
-    pred_u = tf.blocks_to_plane(utiles.reshape(N, 4, 4, 4), R, C, 8)
-    pred_v = tf.blocks_to_plane(vtiles.reshape(N, 4, 4, 4), R, C, 8)
+    ublocks = P.mc_predict_blocks(ref_u, ref_idx, cstarts, cmv0[:, 1] & 7,
+                                  cmv0[:, 0] & 7, taps, 8)
+    vblocks = P.mc_predict_blocks(ref_v, ref_idx, cstarts, cmv0[:, 1] & 7,
+                                  cmv0[:, 0] & 7, taps, 8)
+    pred_u = tf.mbs_to_plane(ublocks, R, C, 8)
+    pred_v = tf.mbs_to_plane(vblocks, R, C, 8)
+
+    # SPLITMV fixup (sparse; sp_* arrays are bucket-padded on the host)
+    if sp_mb.shape[0] > 0:
+        n_ = sp_mb
+        k_ = sp_tile
+        smv = y_mv[n_, k_]
+        ty0 = B + (n_ // C) * 16 + (k_ >> 2) * 4 + (smv[:, 0] >> 3)
+        tx0 = B + (n_ % C) * 16 + (k_ & 3) * 4 + (smv[:, 1] >> 3)
+        tiles = P.mc_predict_tiles(ref_y, ref_idx[n_],
+                                   jnp.stack([ty0, tx0], 1),
+                                   smv[:, 1] & 7, smv[:, 0] & 7, taps)
+        a4 = jnp.arange(4)
+        rows = jnp.where(sp_valid, (n_ // C) * 16 + (k_ >> 2) * 4,
+                         R * 16)[:, None, None] + a4[None, :, None]
+        cols = ((n_ % C) * 16 + (k_ & 3) * 4)[:, None, None] + \
+            a4[None, None, :]
+        pred_y = pred_y.at[rows, cols].set(tiles, mode="drop",
+                                           unique_indices=True)
+        # chroma quadrants
+        nq = sq_mb
+        q_ = sq_quad
+        qmv = uv_mv[nq, q_]
+        qy0 = B2 + (nq // C) * 8 + (q_ >> 1) * 4 + (qmv[:, 0] >> 3)
+        qx0 = B2 + (nq % C) * 8 + (q_ & 1) * 4 + (qmv[:, 1] >> 3)
+        qstarts = jnp.stack([qy0, qx0], 1)
+        uq = P.mc_predict_tiles(ref_u, ref_idx[nq], qstarts, qmv[:, 1] & 7,
+                                qmv[:, 0] & 7, taps)
+        vq = P.mc_predict_tiles(ref_v, ref_idx[nq], qstarts, qmv[:, 1] & 7,
+                                qmv[:, 0] & 7, taps)
+        qrows = jnp.where(sq_valid, (nq // C) * 8 + (q_ >> 1) * 4,
+                          R * 8)[:, None, None] + a4[None, :, None]
+        qcols = ((nq % C) * 8 + (q_ & 1) * 4)[:, None, None] + \
+            a4[None, None, :]
+        pred_u = pred_u.at[qrows, qcols].set(uq, mode="drop",
+                                             unique_indices=True)
+        pred_v = pred_v.at[qrows, qcols].set(vq, mode="drop",
+                                             unique_indices=True)
 
     inter_y = jnp.clip(pred_y + resid_y, 0, 255).astype(jnp.uint8)
     inter_u = jnp.clip(pred_u + resid_u, 0, 255).astype(jnp.uint8)
@@ -512,6 +541,40 @@ class TPUDecoder(RefDecoder):
             lim_a = lim[flevel].astype(np.int32)
             noskip_a = ~(has_y2 & (self.skip.reshape(N) != 0))
 
+        # SPLITMV fixup worklists, bucket-padded so device shapes stay in a
+        # small set of compiled variants
+        split_mbs = np.nonzero(mode == SPLITMV)[0]
+        ns = len(split_mbs)
+
+        def bucket(n):
+            b = 16
+            while b < n:
+                b *= 2
+            return b
+
+        if ns:
+            S = bucket(ns * 16)
+            sp_mb = np.zeros(S, np.int32)
+            sp_tile = np.zeros(S, np.int32)
+            sp_valid = np.zeros(S, bool)
+            sp_mb[:ns * 16] = np.repeat(split_mbs, 16)
+            sp_tile[:ns * 16] = np.tile(np.arange(16), ns)
+            sp_valid[:ns * 16] = True
+            S2 = bucket(ns * 4)
+            sq_mb = np.zeros(S2, np.int32)
+            sq_quad = np.zeros(S2, np.int32)
+            sq_valid = np.zeros(S2, bool)
+            sq_mb[:ns * 4] = np.repeat(split_mbs, 4)
+            sq_quad[:ns * 4] = np.tile(np.arange(4), ns)
+            sq_valid[:ns * 4] = True
+        else:
+            sp_mb = np.zeros(0, np.int32)
+            sp_tile = np.zeros(0, np.int32)
+            sp_valid = np.zeros(0, bool)
+            sq_mb = np.zeros(0, np.int32)
+            sq_quad = np.zeros(0, np.int32)
+            sq_valid = np.zeros(0, bool)
+
         ref_y = jnp.stack([self.last.y, self.golden.y, self.altref.y])
         ref_u = jnp.stack([self.last.u, self.golden.u, self.altref.u])
         ref_v = jnp.stack([self.last.v, self.golden.v, self.altref.v])
@@ -519,7 +582,9 @@ class TPUDecoder(RefDecoder):
         return (ref_y, ref_u, ref_v, j(ref_idx), j(qcoeff), j(eobs),
                 j(dq_y1), j(dq_y2), j(dq_uv), j(has_y2), j(intra), j(mode),
                 j(uv_mode), j(bmodes), j(y_mv), j(uv_mv),
-                j(np.asarray(taps, np.int32)), j(flevel), j(mblim_a),
+                j(np.asarray(taps, np.int32)),
+                j(sp_mb), j(sp_tile), j(sp_valid), j(sq_mb), j(sq_quad),
+                j(sq_valid), j(flevel), j(mblim_a),
                 j(blim_a), j(lim_a), j(hev_a), j(noskip_a))
 
     def _mb_dequant_seg(self, seg, base_dq, cache):

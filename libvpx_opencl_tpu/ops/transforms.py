@@ -111,6 +111,12 @@ def compute_residuals(qcoeff, eobs, dq_y1, dq_y2, dq_uv, has_y2):
     return resid_y, resid_uv[:, :4], resid_uv[:, 4:]
 
 
+def mbs_to_plane(blocks, R, C, bw):
+    """[R*C, bw, bw] per-MB blocks -> [R*bw, C*bw] plane."""
+    return blocks.reshape(R, C, bw, bw).transpose(0, 2, 1, 3) \
+        .reshape(R * bw, C * bw)
+
+
 def blocks_to_plane(blocks, R, C, bw):
     """Scatter per-MB 4x4 blocks into a plane image.
 
