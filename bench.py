@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Headline benchmark: bit-exact 1080p VP8 decode throughput on one TPU chip.
+
+Workload: tests/vectors/bench_1080p.ivf (30 frames, 1 keyframe + 29 inter,
+synthesized clip encoded by the reference vpxenc — see BASELINE.md).
+Baseline: the reference vpxdec on one CPU core decodes this stream at
+19.6 fps (median of 3 runs, generic C build; x86 asm cannot be assembled in
+this image — no yasm/nasm).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Correctness is gated: every frame's MD5 must match the reference decoder's
+golden output or the benchmark reports failure.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FPS = 19.6
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(__file__),
+                                       ".jax_cache"))
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from libvpx_opencl_tpu.models.tpu_decoder import TPUDecoder
+    from libvpx_opencl_tpu.utils.ivf import read_ivf
+    from libvpx_opencl_tpu.utils.md5 import frame_md5, load_golden_md5s
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ivf = os.path.join(here, "tests", "vectors", "bench_1080p.ivf")
+    stream = read_ivf(ivf)
+    golden = load_golden_md5s(ivf + ".md5")
+
+    # warmup: compile the keyframe + inter frame programs
+    warm = TPUDecoder()
+    warm.decode_frame(stream.frames[0][0])
+    warm.decode_frame(stream.frames[1][0])
+    del warm
+
+    dec = TPUDecoder()
+    t0 = time.time()
+    md5s = []
+    for payload, _pts in stream.frames:
+        show, (y, u, v) = dec.decode_frame(payload)
+        if show:
+            md5s.append(frame_md5(y, u, v))
+    dt = time.time() - t0
+    n = len(md5s)
+    bit_exact = md5s == golden[:n] and n == len(golden)
+    fps = n / dt if bit_exact else 0.0
+    print(json.dumps({
+        "metric": "1080p_decode_fps_bit_exact",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+    if not bit_exact:
+        print(f"FAIL: decode not bit-exact ({n} frames)", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

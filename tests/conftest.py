@@ -5,10 +5,14 @@ import sys
 # the standard fake backend for pod code without a pod). Must be set before
 # jax import.
 # Force CPU: the environment exports JAX_PLATFORMS=axon (the tunneled real
-# TPU); unit tests must not compile through the tunnel.
+# TPU); unit tests must not compile through the tunnel. The axon
+# sitecustomize ignores the env var, so set the config explicitly too.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=8").strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
