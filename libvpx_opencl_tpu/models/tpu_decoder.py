@@ -44,39 +44,6 @@ B2 = BORDER // 2    # chroma pad
 # ---------------------------------------------------------------------------
 # wavefront geometry (host-side, cached per frame shape)
 
-@functools.lru_cache(maxsize=16)
-def diagonals(R, C):
-    """Offset-2 anti-diagonals: MB (r, c) is scheduled at level d = 2r + c
-    (the reference CL loop filter's priority-level scheme,
-    loopfilter_cl.c:417-439,545). Returns (diag_r, diag_c) [D, M] int32
-    with sentinel 10**6 for empty lanes."""
-    D = 2 * (R - 1) + C
-    M = min(R, C // 2 + 1)
-    diag_r = np.full((D, M), 10**6, dtype=np.int32)
-    diag_c = np.full((D, M), 10**6, dtype=np.int32)
-    for d in range(D):
-        lane = 0
-        rlo = max(0, (d - C + 1 + 1) // 2)
-        rhi = min(R - 1, d // 2)
-        for r in range(rlo, rhi + 1):
-            c = d - 2 * r
-            if 0 <= c < C:
-                diag_r[d, lane] = r
-                diag_c[d, lane] = c
-                lane += 1
-    return diag_r, diag_c
-
-
-# ---------------------------------------------------------------------------
-# device pipeline
-
-def _set_intra_borders(plane, pad, aw, ah):
-    """setup_intra_recon (setupintrarecon.c): 127 above, 129 left."""
-    plane = plane.at[pad - 1, pad - 1:pad + aw + 4].set(127)
-    plane = plane.at[pad:pad + ah, pad - 1].set(129)
-    return plane
-
-
 def _extend_borders(plane, pad, aw, ah):
     """vp8_yv12_extend_frame_borders (yv12extend.c:23-145)."""
     plane = plane.at[pad:pad + ah, :pad].set(plane[pad:pad + ah, pad:pad + 1])
@@ -87,205 +54,11 @@ def _extend_borders(plane, pad, aw, ah):
     return plane
 
 
-def _recon_step(R, C, planes, xs, resid_y, resid_u, resid_v,
-                mode, uv_mode, intra, bmodes):
-    """One wavefront level of intra reconstruction."""
-    cy, cu, cv = planes
-    diag_r, diag_c = xs
-
-    def lane(r, c):
-        valid = r < R
-        rc = jnp.where(valid, r, 0)
-        cc = jnp.where(valid, c, 0)
-        n = rc * C + cc
-        y0 = B + rc * 16
-        x0 = B + cc * 16
-        qy0 = B2 + rc * 8
-        qx0 = B2 + cc * 8
-        # ---- luma ----
-        above_ext = jax.lax.dynamic_slice(cy, (y0 - 1, x0 - 1),
-                                          (1, 21))[0].astype(jnp.int32)
-        # above-right for the last MB column: replicate x0+15 (the
-        # vp8_extend_mb_row semantics, extend.c:160-186)
-        last_col = cc == C - 1
-        tail = jnp.where(last_col,
-                         jnp.full((4,), 1, jnp.int32) * above_ext[16],
-                         above_ext[17:21])
-        above_ext = above_ext.at[17:21].set(tail)
-        left_col = jax.lax.dynamic_slice(cy, (y0, x0 - 1),
-                                         (16, 1))[:, 0].astype(jnp.int32)
-        tl = above_ext[0]
-        rblk = jax.lax.dynamic_slice(resid_y, (rc * 16, cc * 16), (16, 16))
-        pred16 = P.pred_nxn(mode[n], above_ext[1:17], left_col, tl,
-                            rc != 0, cc != 0, 16)
-        rec16 = jnp.clip(pred16 + rblk, 0, 255)
-        # B_PRED workspace [17, 21]
-        ws = jnp.zeros((17, 21), jnp.int32)
-        ws = ws.at[0, :].set(above_ext)
-        ws = ws.at[1:17, 0].set(left_col)
-        ws = ws.at[4, 17:21].set(above_ext[17:21])
-        ws = ws.at[8, 17:21].set(above_ext[17:21])
-        ws = ws.at[12, 17:21].set(above_ext[17:21])
-
-        def bstep(k, ws):
-            ir = k >> 2
-            ic = k & 3
-            above8 = jax.lax.dynamic_slice(ws, (4 * ir, 1 + 4 * ic),
-                                           (1, 8))[0]
-            left4 = jax.lax.dynamic_slice(ws, (1 + 4 * ir, 4 * ic),
-                                          (4, 1))[:, 0]
-            tl4 = jax.lax.dynamic_slice(ws, (4 * ir, 4 * ic), (1, 1))[0, 0]
-            blk = P.bpred_4x4(bmodes[n, k], above8, left4, tl4)
-            rsub = jax.lax.dynamic_slice(rblk, (4 * ir, 4 * ic), (4, 4))
-            blk = jnp.clip(blk + rsub, 0, 255)
-            return jax.lax.dynamic_update_slice(ws, blk,
-                                                (1 + 4 * ir, 1 + 4 * ic))
-
-        ws = jax.lax.fori_loop(0, 16, bstep, ws)
-        recB = ws[1:17, 1:17]
-        yblk = jnp.where(mode[n] == B_PRED, recB, rec16)
-        # ---- chroma ----
-        def chroma(cpl, resid_pl):
-            a = jax.lax.dynamic_slice(cpl, (qy0 - 1, qx0 - 1),
-                                      (1, 9))[0].astype(jnp.int32)
-            l = jax.lax.dynamic_slice(cpl, (qy0, qx0 - 1),
-                                      (8, 1))[:, 0].astype(jnp.int32)
-            rb = jax.lax.dynamic_slice(resid_pl, (rc * 8, cc * 8), (8, 8))
-            pd = P.pred_nxn(uv_mode[n], a[1:9], l, a[0], rc != 0, cc != 0, 8)
-            return jnp.clip(pd + rb, 0, 255)
-
-        ublk = chroma(cu, resid_u)
-        vblk = chroma(cv, resid_v)
-        write = valid & intra[n]
-        return yblk, ublk, vblk, write, rc, cc
-
-    yb, ub, vb, write, rr, cc = jax.vmap(lane)(diag_r, diag_c)
-    # scatter (out-of-bounds rows are dropped for non-writing lanes)
-    ar16 = jnp.arange(16)
-    y0 = jnp.where(write, B + rr * 16, cy.shape[0])
-    x0 = B + cc * 16
-    rows = y0[:, None, None] + ar16[None, :, None]
-    cols = x0[:, None, None] + ar16[None, None, :]
-    cy = cy.at[rows, cols].set(yb.astype(cy.dtype), mode="drop",
-                               unique_indices=True)
-    ar8 = jnp.arange(8)
-    qy0 = jnp.where(write, B2 + rr * 8, cu.shape[0])
-    qx0 = B2 + cc * 8
-    rows8 = qy0[:, None, None] + ar8[None, :, None]
-    cols8 = qx0[:, None, None] + ar8[None, None, :]
-    cu = cu.at[rows8, cols8].set(ub.astype(cu.dtype), mode="drop",
-                                 unique_indices=True)
-    cv = cv.at[rows8, cols8].set(vb.astype(cv.dtype), mode="drop",
-                                 unique_indices=True)
-    return (cy, cu, cv), None
-
-
-def _lf_patch_y(patch, ml, bl, il, hv, left_ok, top_ok, no_skip, active,
-                simple):
-    """Apply the 8 ordered edge groups of one MB to a [.., 24, 24] luma
-    patch (vp8_loop_filter_frame per-MB body, loopfilter.c:245-305)."""
-    def vert(patch, col, mb_edge, apply, blimit):
-        pix8 = patch[..., 4:20, col - 4:col + 4]
-        if simple:
-            out = lf.simple_filter_edge(pix8, blimit[..., None], apply[..., None])
-        else:
-            out = lf.filter_edge(pix8, blimit[..., None], il[..., None],
-                                 hv[..., None], mb_edge, apply[..., None])
-        return patch.at[..., 4:20, col - 4:col + 4].set(out)
-
-    def horz(patch, row, mb_edge, apply, blimit):
-        pix8 = jnp.swapaxes(patch[..., row - 4:row + 4, 4:20], -1, -2)
-        if simple:
-            out = lf.simple_filter_edge(pix8, blimit[..., None], apply[..., None])
-        else:
-            out = lf.filter_edge(pix8, blimit[..., None], il[..., None],
-                                 hv[..., None], mb_edge, apply[..., None])
-        return patch.at[..., row - 4:row + 4, 4:20].set(
-            jnp.swapaxes(out, -1, -2))
-
-    patch = vert(patch, 4, True, active & left_ok, ml)
-    for col in (8, 12, 16):
-        patch = vert(patch, col, False, active & no_skip, bl)
-    patch = horz(patch, 4, True, active & top_ok, ml)
-    for row in (8, 12, 16):
-        patch = horz(patch, row, False, active & no_skip, bl)
-    return patch
-
-
-def _lf_patch_uv(patch, ml, bl, il, hv, left_ok, top_ok, no_skip, active):
-    """Chroma edges on a [.., 16, 16] patch (normal filter only —
-    the simple filter is luma-only, loopfilter.c:288-303)."""
-    def vert(patch, col, mb_edge, apply, blimit):
-        pix8 = patch[..., 4:12, col - 4:col + 4]
-        out = lf.filter_edge(pix8, blimit[..., None], il[..., None],
-                             hv[..., None], mb_edge, apply[..., None])
-        return patch.at[..., 4:12, col - 4:col + 4].set(out)
-
-    def horz(patch, row, mb_edge, apply, blimit):
-        pix8 = jnp.swapaxes(patch[..., row - 4:row + 4, 4:12], -1, -2)
-        out = lf.filter_edge(pix8, blimit[..., None], il[..., None],
-                             hv[..., None], mb_edge, apply[..., None])
-        return patch.at[..., row - 4:row + 4, 4:12].set(
-            jnp.swapaxes(out, -1, -2))
-
-    patch = vert(patch, 4, True, active & left_ok, ml)
-    patch = vert(patch, 8, False, active & no_skip, bl)
-    patch = horz(patch, 4, True, active & top_ok, ml)
-    patch = horz(patch, 8, False, active & no_skip, bl)
-    return patch
-
-
-def _lf_step(R, C, simple, planes, xs, flevel, mblim_a, blim_a, lim_a,
-             hev_a, noskip_a):
-    cy, cu, cv = planes
-    diag_r, diag_c = xs
-
-    def gather(r, c):
-        valid = r < R
-        rc = jnp.where(valid, r, 0)
-        cc = jnp.where(valid, c, 0)
-        n = rc * C + cc
-        yp = jax.lax.dynamic_slice(cy, (B + rc * 16 - 4, B + cc * 16 - 4),
-                                   (24, 24)).astype(jnp.int32)
-        up = jax.lax.dynamic_slice(cu, (B2 + rc * 8 - 4, B2 + cc * 8 - 4),
-                                   (16, 16)).astype(jnp.int32)
-        vp = jax.lax.dynamic_slice(cv, (B2 + rc * 8 - 4, B2 + cc * 8 - 4),
-                                   (16, 16)).astype(jnp.int32)
-        return (yp, up, vp, n, rc, cc, valid)
-
-    yp, up, vp, n, rr, cc, valid = jax.vmap(gather)(diag_r, diag_c)
-    fl = flevel[n]
-    active = valid & (fl > 0)
-    ml, bl, il, hv = mblim_a[n], blim_a[n], lim_a[n], hev_a[n]
-    no_skip = noskip_a[n]
-    left_ok = cc > 0
-    top_ok = rr > 0
-    yp = _lf_patch_y(yp, ml, bl, il, hv, left_ok, top_ok, no_skip, active,
-                     simple)
-    if not simple:
-        up = _lf_patch_uv(up, ml, bl, il, hv, left_ok, top_ok, no_skip,
-                          active)
-        vp = _lf_patch_uv(vp, ml, bl, il, hv, left_ok, top_ok, no_skip,
-                          active)
-    # scatter back
-    a24 = jnp.arange(24)
-    y0 = jnp.where(active, B + rr * 16 - 4, cy.shape[0])
-    x0 = B + cc * 16 - 4
-    rows = y0[:, None, None] + a24[None, :, None]
-    cols = x0[:, None, None] + a24[None, None, :]
-    cy = cy.at[rows, cols].set(yp.astype(cy.dtype), mode="drop",
-                               unique_indices=True)
-    if not simple:
-        a16 = jnp.arange(16)
-        qy0 = jnp.where(active, B2 + rr * 8 - 4, cu.shape[0])
-        qx0 = B2 + cc * 8 - 4
-        rows8 = qy0[:, None, None] + a16[None, :, None]
-        cols8 = qx0[:, None, None] + a16[None, None, :]
-        cu = cu.at[rows8, cols8].set(up.astype(cu.dtype), mode="drop",
-                                     unique_indices=True)
-        cv = cv.at[rows8, cols8].set(vp.astype(cv.dtype), mode="drop",
-                                     unique_indices=True)
-    return (cy, cu, cv), None
+def _blk4_to_mb(blocks, g):
+    """[N, g*g, 4, 4] raster 4x4 blocks -> [N, g*4, g*4] MB images."""
+    n = blocks.shape[0]
+    return blocks.reshape(n, g, g, 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, g * 4, g * 4)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
@@ -297,16 +70,18 @@ def decode_frame_device(R, C, simple_lf, do_lf,
                         sp_mb, sp_tile, sp_valid, sq_mb, sq_quad, sq_valid,
                         flevel, mblim_a, blim_a, lim_a, hev_a, noskip_a):
     """One frame: residuals → MC → intra wavefront → LF wavefront → extend."""
+    from . import wavefront as wf
     N = R * C
     HP, WP = R * 16 + 2 * B, C * 16 + 2 * B
     HPc, WPc = R * 8 + 2 * B2, C * 8 + 2 * B2
+    sch = wf.schedule(R, C)
 
-    # 1. residuals
+    # 1. residuals (as per-MB block images)
     ry, ru, rv = tf.compute_residuals(qcoeff, eobs, dq_y1, dq_y2, dq_uv,
                                       has_y2)
-    resid_y = tf.blocks_to_plane(ry, R, C, 16)
-    resid_u = tf.blocks_to_plane(ru, R, C, 8)
-    resid_v = tf.blocks_to_plane(rv, R, C, 8)
+    resid_y_b = _blk4_to_mb(ry, 4)
+    resid_u_b = _blk4_to_mb(ru, 2)
+    resid_v_b = _blk4_to_mb(rv, 2)
 
     # 2. batched inter prediction — uniform-MV fast path: one (bw+5)^2
     # gather per MB; SPLITMV sub-block MVs fixed up by a second, sparse pass
@@ -315,19 +90,16 @@ def decode_frame_device(R, C, simple_lf, do_lf,
     mv0 = y_mv[:, 0, :]
     sy = B + mb_r * 16 + (mv0[:, 0] >> 3)
     sx = B + mb_c * 16 + (mv0[:, 1] >> 3)
-    blocks = P.mc_predict_blocks(ref_y, ref_idx, jnp.stack([sy, sx], 1),
-                                 mv0[:, 1] & 7, mv0[:, 0] & 7, taps, 16)
-    pred_y = tf.mbs_to_plane(blocks, R, C, 16)
+    mc_y = P.mc_predict_blocks(ref_y, ref_idx, jnp.stack([sy, sx], 1),
+                               mv0[:, 1] & 7, mv0[:, 0] & 7, taps, 16)
     cmv0 = uv_mv[:, 0, :]
     csy = B2 + mb_r * 8 + (cmv0[:, 0] >> 3)
     csx = B2 + mb_c * 8 + (cmv0[:, 1] >> 3)
     cstarts = jnp.stack([csy, csx], 1)
-    ublocks = P.mc_predict_blocks(ref_u, ref_idx, cstarts, cmv0[:, 1] & 7,
-                                  cmv0[:, 0] & 7, taps, 8)
-    vblocks = P.mc_predict_blocks(ref_v, ref_idx, cstarts, cmv0[:, 1] & 7,
-                                  cmv0[:, 0] & 7, taps, 8)
-    pred_u = tf.mbs_to_plane(ublocks, R, C, 8)
-    pred_v = tf.mbs_to_plane(vblocks, R, C, 8)
+    mc_u = P.mc_predict_blocks(ref_u, ref_idx, cstarts, cmv0[:, 1] & 7,
+                               cmv0[:, 0] & 7, taps, 8)
+    mc_v = P.mc_predict_blocks(ref_v, ref_idx, cstarts, cmv0[:, 1] & 7,
+                               cmv0[:, 0] & 7, taps, 8)
 
     # SPLITMV fixup (sparse; sp_* arrays are bucket-padded on the host)
     if sp_mb.shape[0] > 0:
@@ -340,13 +112,11 @@ def decode_frame_device(R, C, simple_lf, do_lf,
                                    jnp.stack([ty0, tx0], 1),
                                    smv[:, 1] & 7, smv[:, 0] & 7, taps)
         a4 = jnp.arange(4)
-        rows = jnp.where(sp_valid, (n_ // C) * 16 + (k_ >> 2) * 4,
-                         R * 16)[:, None, None] + a4[None, :, None]
-        cols = ((n_ % C) * 16 + (k_ & 3) * 4)[:, None, None] + \
-            a4[None, None, :]
-        pred_y = pred_y.at[rows, cols].set(tiles, mode="drop",
-                                           unique_indices=True)
-        # chroma quadrants
+        nsafe = jnp.where(sp_valid, n_, N)
+        rows = ((k_ >> 2) * 4)[:, None, None] + a4[None, :, None]
+        cols = ((k_ & 3) * 4)[:, None, None] + a4[None, None, :]
+        mc_y = mc_y.at[nsafe[:, None, None], rows, cols].set(
+            tiles, mode="drop", unique_indices=True)
         nq = sq_mb
         q_ = sq_quad
         qmv = uv_mv[nq, q_]
@@ -357,49 +127,39 @@ def decode_frame_device(R, C, simple_lf, do_lf,
                                 qmv[:, 0] & 7, taps)
         vq = P.mc_predict_tiles(ref_v, ref_idx[nq], qstarts, qmv[:, 1] & 7,
                                 qmv[:, 0] & 7, taps)
-        qrows = jnp.where(sq_valid, (nq // C) * 8 + (q_ >> 1) * 4,
-                          R * 8)[:, None, None] + a4[None, :, None]
-        qcols = ((nq % C) * 8 + (q_ & 1) * 4)[:, None, None] + \
-            a4[None, None, :]
-        pred_u = pred_u.at[qrows, qcols].set(uq, mode="drop",
-                                             unique_indices=True)
-        pred_v = pred_v.at[qrows, qcols].set(vq, mode="drop",
-                                             unique_indices=True)
+        nqsafe = jnp.where(sq_valid, nq, N)
+        qrows = ((q_ >> 1) * 4)[:, None, None] + a4[None, :, None]
+        qcols = ((q_ & 1) * 4)[:, None, None] + a4[None, None, :]
+        mc_u = mc_u.at[nqsafe[:, None, None], qrows, qcols].set(
+            uq, mode="drop", unique_indices=True)
+        mc_v = mc_v.at[nqsafe[:, None, None], qrows, qcols].set(
+            vq, mode="drop", unique_indices=True)
 
-    inter_y = jnp.clip(pred_y + resid_y, 0, 255).astype(jnp.uint8)
-    inter_u = jnp.clip(pred_u + resid_u, 0, 255).astype(jnp.uint8)
-    inter_v = jnp.clip(pred_v + resid_v, 0, 255).astype(jnp.uint8)
+    inter_y = jnp.clip(mc_y + resid_y_b, 0, 255)
+    inter_u = jnp.clip(mc_u + resid_u_b, 0, 255)
+    inter_v = jnp.clip(mc_v + resid_v_b, 0, 255)
 
-    # 3. canvas assembly
-    cy = jnp.zeros((HP, WP), jnp.uint8)
-    cu = jnp.zeros((HPc, WPc), jnp.uint8)
-    cv = jnp.zeros((HPc, WPc), jnp.uint8)
-    cy = _set_intra_borders(cy, B, C * 16, R * 16)
-    cu = _set_intra_borders(cu, B2, C * 8, R * 8)
-    cv = _set_intra_borders(cv, B2, C * 8, R * 8)
-    cy = jax.lax.dynamic_update_slice(cy, inter_y, (B, B))
-    cu = jax.lax.dynamic_update_slice(cu, inter_u, (B2, B2))
-    cv = jax.lax.dynamic_update_slice(cv, inter_v, (B2, B2))
-
-    # 4. intra wavefront
-    diag_r_np, diag_c_np = diagonals(R, C)
-    diag_r, diag_c = jnp.asarray(diag_r_np), jnp.asarray(diag_c_np)
-    step = functools.partial(_recon_step, R, C, resid_y=resid_y,
-                             resid_u=resid_u, resid_v=resid_v, mode=mode,
-                             uv_mode=uv_mode, intra=intra, bmodes=bmodes)
-    (cy, cu, cv), _ = jax.lax.scan(lambda p, x: step(p, x), (cy, cu, cv),
-                                   (diag_r, diag_c))
+    # 3+4. intra wavefront over diagonal-major block stores
+    yb, ub, vb = wf.intra_recon_blocks(R, C, sch, inter_y, inter_u, inter_v,
+                                       resid_y_b, resid_u_b, resid_v_b,
+                                       mode, uv_mode, intra, bmodes)
 
     # 5. loop filter wavefront
     if do_lf:
-        lstep = functools.partial(_lf_step, R, C, simple_lf, flevel=flevel,
-                                  mblim_a=mblim_a, blim_a=blim_a,
-                                  lim_a=lim_a, hev_a=hev_a,
-                                  noskip_a=noskip_a)
-        (cy, cu, cv), _ = jax.lax.scan(lambda p, x: lstep(p, x),
-                                       (cy, cu, cv), (diag_r, diag_c))
+        yb, ub, vb = wf.loop_filter_blocks(R, C, sch, simple_lf, yb, ub, vb,
+                                           flevel, mblim_a, blim_a, lim_a,
+                                           hev_a, noskip_a)
 
-    # 6. border extension
+    # 6. plane assembly + border extension
+    cy = jnp.zeros((HP, WP), jnp.uint8)
+    cu = jnp.zeros((HPc, WPc), jnp.uint8)
+    cv = jnp.zeros((HPc, WPc), jnp.uint8)
+    cy = jax.lax.dynamic_update_slice(
+        cy, tf.mbs_to_plane(yb, R, C, 16).astype(jnp.uint8), (B, B))
+    cu = jax.lax.dynamic_update_slice(
+        cu, tf.mbs_to_plane(ub, R, C, 8).astype(jnp.uint8), (B2, B2))
+    cv = jax.lax.dynamic_update_slice(
+        cv, tf.mbs_to_plane(vb, R, C, 8).astype(jnp.uint8), (B2, B2))
     cy = _extend_borders(cy, B, C * 16, R * 16)
     cu = _extend_borders(cu, B2, C * 8, R * 8)
     cv = _extend_borders(cv, B2, C * 8, R * 8)
