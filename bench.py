@@ -51,10 +51,14 @@ def main():
     dec = TPUDecoder()
     t0 = time.time()
     md5s = []
+    pending = None  # 1-frame-lag readback pipelines host entropy + device
     for payload, _pts in stream.frames:
-        show, (y, u, v) = dec.decode_frame(payload)
-        if show:
-            md5s.append(frame_md5(y, u, v))
+        show = dec.decode_frame_core(payload)
+        if pending is not None:
+            md5s.append(frame_md5(*pending.visible()))
+        pending = dec.frame_to_show if show else None
+    if pending is not None:
+        md5s.append(frame_md5(*pending.visible()))
     dt = time.time() - t0
     n = len(md5s)
     bit_exact = md5s == golden[:n] and n == len(golden)

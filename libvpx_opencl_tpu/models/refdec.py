@@ -437,6 +437,14 @@ class RefDecoder:
     def decode_frame(self, data: bytes):
         """Decode one compressed frame; returns (show, (y,u,v)) where the
         planes are the visible post-loop-filter reconstruction."""
+        show = self.decode_frame_core(data)
+        y, u, v = self.frame_to_show.visible()
+        return show, (y.copy(), u.copy(), v.copy())
+
+    def decode_frame_core(self, data: bytes) -> int:
+        """Decode without materializing pixels to the host (the TPU path
+        leaves the frame device-resident; read via self.frame_to_show).
+        Returns the show_frame flag."""
         h = {}
         tag = data[0] | (data[1] << 8) | (data[2] << 16)
         frame_type = tag & 1
@@ -524,8 +532,7 @@ class RefDecoder:
         self._reconstruct()
         self._swap_and_filter()
         self.decoded_key_frame = True
-        y, u, v = self.frame_to_show.visible()
-        return show_frame, (y.copy(), u.copy(), v.copy())
+        return show_frame
 
     def _get_delta_q(self, bc, prev):
         if bc.read_bit():

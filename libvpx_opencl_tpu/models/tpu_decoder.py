@@ -64,10 +64,11 @@ def _blk4_to_mb(blocks, g):
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def decode_frame_device(R, C, simple_lf, do_lf,
                         ref_y, ref_u, ref_v, ref_idx,
-                        qcoeff, eobs, dq_y1, dq_y2, dq_uv, has_y2,
+                        qc_vals, qc_idx, y2_big, dq_y1, dq_y2, dq_uv, has_y2,
                         intra, mode, uv_mode, bmodes,
-                        y_mv, uv_mv, taps,
-                        sp_mb, sp_tile, sp_valid, sq_mb, sq_quad, sq_valid,
+                        mv0, uvmv0, taps,
+                        sp_mb, sp_tile, sp_mv, sp_valid,
+                        sq_mb, sq_quad, sq_mv, sq_valid,
                         flevel, mblim_a, blim_a, lim_a, hev_a, noskip_a):
     """One frame: residuals → MC → intra wavefront → LF wavefront → extend."""
     from . import wavefront as wf
@@ -75,9 +76,30 @@ def decode_frame_device(R, C, simple_lf, do_lf,
     HP, WP = R * 16 + 2 * B, C * 16 + 2 * B
     HPc, WPc = R * 8 + 2 * B2, C * 8 + 2 * B2
     sch = wf.schedule(R, C)
+    # widen the narrow transfer dtypes on-device
+    ref_idx = ref_idx.astype(jnp.int32)
+    mode = mode.astype(jnp.int32)
+    uv_mode = uv_mode.astype(jnp.int32)
+    bmodes = bmodes.astype(jnp.int32)
+    mv0 = mv0.astype(jnp.int32)
+    uvmv0 = uvmv0.astype(jnp.int32)
+    flevel = flevel.astype(jnp.int32)
+    mblim_a = mblim_a.astype(jnp.int32)
+    blim_a = blim_a.astype(jnp.int32)
+    lim_a = lim_a.astype(jnp.int32)
+    hev_a = hev_a.astype(jnp.int32)
 
     # 1. residuals (as per-MB block images)
-    ry, ru, rv = tf.compute_residuals(qcoeff, eobs, dq_y1, dq_y2, dq_uv,
+    # coefficients arrive block-compacted (most blocks are all-zero);
+    # densify with one scatter (padding rows carry an out-of-range index)
+    if qc_idx is None:
+        qcoeff = qc_vals.reshape(N, 25, 16)
+    else:
+        dense = jnp.zeros((N * 25, 16), jnp.int16)
+        dense = dense.at[qc_idx].set(qc_vals, mode="drop",
+                                     unique_indices=True)
+        qcoeff = dense.reshape(N, 25, 16)
+    ry, ru, rv = tf.compute_residuals(qcoeff, y2_big, dq_y1, dq_y2, dq_uv,
                                       has_y2)
     resid_y_b = _blk4_to_mb(ry, 4)
     resid_u_b = _blk4_to_mb(ru, 2)
@@ -87,12 +109,11 @@ def decode_frame_device(R, C, simple_lf, do_lf,
     # gather per MB; SPLITMV sub-block MVs fixed up by a second, sparse pass
     mb = jnp.arange(N)
     mb_r, mb_c = mb // C, mb % C
-    mv0 = y_mv[:, 0, :]
     sy = B + mb_r * 16 + (mv0[:, 0] >> 3)
     sx = B + mb_c * 16 + (mv0[:, 1] >> 3)
     mc_y = P.mc_predict_blocks(ref_y, ref_idx, jnp.stack([sy, sx], 1),
                                mv0[:, 1] & 7, mv0[:, 0] & 7, taps, 16)
-    cmv0 = uv_mv[:, 0, :]
+    cmv0 = uvmv0
     csy = B2 + mb_r * 8 + (cmv0[:, 0] >> 3)
     csx = B2 + mb_c * 8 + (cmv0[:, 1] >> 3)
     cstarts = jnp.stack([csy, csx], 1)
@@ -105,7 +126,7 @@ def decode_frame_device(R, C, simple_lf, do_lf,
     if sp_mb.shape[0] > 0:
         n_ = sp_mb
         k_ = sp_tile
-        smv = y_mv[n_, k_]
+        smv = sp_mv.astype(jnp.int32)
         ty0 = B + (n_ // C) * 16 + (k_ >> 2) * 4 + (smv[:, 0] >> 3)
         tx0 = B + (n_ % C) * 16 + (k_ & 3) * 4 + (smv[:, 1] >> 3)
         tiles = P.mc_predict_tiles(ref_y, ref_idx[n_],
@@ -119,7 +140,7 @@ def decode_frame_device(R, C, simple_lf, do_lf,
             tiles, mode="drop", unique_indices=True)
         nq = sq_mb
         q_ = sq_quad
-        qmv = uv_mv[nq, q_]
+        qmv = sq_mv.astype(jnp.int32)
         qy0 = B2 + (nq // C) * 8 + (q_ >> 1) * 4 + (qmv[:, 0] >> 3)
         qx0 = B2 + (nq % C) * 8 + (q_ & 1) * 4 + (qmv[:, 1] >> 3)
         qstarts = jnp.stack([qy0, qx0], 1)
@@ -178,10 +199,10 @@ class DeviceFrame:
         self.w, self.h = w, h
 
     def visible(self):
-        y = np.asarray(self.y[B:B + self.h, B:B + self.w])
         ch, cw = (self.h + 1) // 2, (self.w + 1) // 2
-        u = np.asarray(self.u[B2:B2 + ch, B2:B2 + cw])
-        v = np.asarray(self.v[B2:B2 + ch, B2:B2 + cw])
+        y, u, v = jax.device_get((self.y[B:B + self.h, B:B + self.w],
+                                  self.u[B2:B2 + ch, B2:B2 + cw],
+                                  self.v[B2:B2 + ch, B2:B2 + cw]))
         return y, u, v
 
 
@@ -242,15 +263,32 @@ class TPUDecoder(RefDecoder):
     def _prep_arrays(self):
         R, C = self.mb_rows, self.mb_cols
         N = R * C
-        mode = self.mode[1:, 1:].reshape(N).astype(np.int32)
-        uv_mode = self.uv_mode.reshape(N).astype(np.int32)
+        mode = self.mode[1:, 1:].reshape(N).astype(np.uint8)
+        uv_mode = self.uv_mode.reshape(N).astype(np.uint8)
         ref_frame = self.ref_frame[1:, 1:].reshape(N)
         intra = (ref_frame == INTRA_FRAME)
-        ref_idx = np.clip(ref_frame - 1, 0, 2).astype(np.int32)
-        bmodes = self.bmode[1:, 1:].reshape(N, 16).astype(np.int32)
+        ref_idx = np.clip(ref_frame - 1, 0, 2).astype(np.uint8)
+        bmodes = self.bmode[1:, 1:].reshape(N, 16).astype(np.uint8)
         qcoeff = np.ascontiguousarray(self.qcoeff.reshape(N, 25, 16),
                                       dtype=np.int16)
-        eobs = self.eobs.reshape(N, 25).astype(np.int32)
+        # block-compact the coefficients for transfer (most blocks are zero);
+        # bucket-padded to keep the compiled-shape set small
+        qflat = qcoeff.reshape(N * 25, 16)
+        nzb = np.flatnonzero(qflat.any(axis=1))
+        K = len(nzb)
+        cap = N * 25
+        if K >= cap // 2:
+            qc_vals, qc_idx = qflat, None
+        else:
+            Kp = max(1024, cap // 8)
+            while Kp < K:
+                Kp *= 2
+            Kp = min(Kp, cap)
+            qc_vals = np.zeros((Kp, 16), np.int16)
+            qc_idx = np.full(Kp, cap, np.int32)
+            qc_vals[:K] = qflat[nzb]
+            qc_idx[:K] = nzb
+        y2_big = np.ascontiguousarray(self.eobs.reshape(N, 25)[:, 24] > 1)
         has_y2 = np.logical_and(mode != B_PRED, mode != SPLITMV)
 
         # per-MB dequant vectors (mb_init_dequantizer, decodframe.c:67-109):
@@ -279,11 +317,11 @@ class TPUDecoder(RefDecoder):
         taps = P.BILINEAR_AS_SIXTAP if self.use_bilinear else P.SIXTAP_TABLE
 
         # loop filter per-MB params, all table gathers
-        flevel = np.zeros(N, np.int32)
-        hev_a = np.zeros(N, np.int32)
-        mblim_a = np.zeros(N, np.int32)
-        blim_a = np.zeros(N, np.int32)
-        lim_a = np.zeros(N, np.int32)
+        flevel = np.zeros(N, np.uint8)
+        hev_a = np.zeros(N, np.uint8)
+        mblim_a = np.zeros(N, np.uint8)
+        blim_a = np.zeros(N, np.uint8)
+        lim_a = np.zeros(N, np.uint8)
         noskip_a = np.zeros(N, bool)
         if self.filter_level:
             lim, blim, mblim = self._lf_limits()
@@ -294,11 +332,11 @@ class TPUDecoder(RefDecoder):
             hev_lut = np.asarray([self._hev_threshold(f) for f in range(64)],
                                  np.int32)
             mi = mode_lut[mode]
-            flevel = lvl[segs, ref_frame, mi].astype(np.int32)
-            hev_a = hev_lut[flevel]
-            mblim_a = mblim[flevel].astype(np.int32)
-            blim_a = blim[flevel].astype(np.int32)
-            lim_a = lim[flevel].astype(np.int32)
+            flevel = lvl[segs, ref_frame, mi].astype(np.uint8)
+            hev_a = hev_lut[flevel].astype(np.uint8)
+            mblim_a = mblim[flevel].astype(np.uint8)
+            blim_a = blim[flevel].astype(np.uint8)
+            lim_a = lim[flevel].astype(np.uint8)
             noskip_a = ~(has_y2 & (self.skip.reshape(N) != 0))
 
         # SPLITMV fixup worklists, bucket-padded so device shapes stay in a
@@ -316,34 +354,48 @@ class TPUDecoder(RefDecoder):
             S = bucket(ns * 16)
             sp_mb = np.zeros(S, np.int32)
             sp_tile = np.zeros(S, np.int32)
+            sp_mv = np.zeros((S, 2), np.int16)
             sp_valid = np.zeros(S, bool)
             sp_mb[:ns * 16] = np.repeat(split_mbs, 16)
             sp_tile[:ns * 16] = np.tile(np.arange(16), ns)
+            sp_mv[:ns * 16] = y_mv[sp_mb[:ns * 16], sp_tile[:ns * 16]]
             sp_valid[:ns * 16] = True
             S2 = bucket(ns * 4)
             sq_mb = np.zeros(S2, np.int32)
             sq_quad = np.zeros(S2, np.int32)
+            sq_mv = np.zeros((S2, 2), np.int16)
             sq_valid = np.zeros(S2, bool)
             sq_mb[:ns * 4] = np.repeat(split_mbs, 4)
             sq_quad[:ns * 4] = np.tile(np.arange(4), ns)
+            sq_mv[:ns * 4] = uv_mv[sq_mb[:ns * 4], sq_quad[:ns * 4]]
             sq_valid[:ns * 4] = True
         else:
             sp_mb = np.zeros(0, np.int32)
             sp_tile = np.zeros(0, np.int32)
+            sp_mv = np.zeros((0, 2), np.int16)
             sp_valid = np.zeros(0, bool)
             sq_mb = np.zeros(0, np.int32)
             sq_quad = np.zeros(0, np.int32)
+            sq_mv = np.zeros((0, 2), np.int16)
             sq_valid = np.zeros(0, bool)
+
+        mv0 = np.ascontiguousarray(y_mv[:, 0, :], dtype=np.int16)
+        uvmv0 = np.ascontiguousarray(uv_mv[:, 0, :], dtype=np.int16)
+        dq_y1 = dq_y1.astype(np.int16)
+        dq_y2 = dq_y2.astype(np.int16)
+        dq_uv = dq_uv.astype(np.int16)
 
         ref_y = jnp.stack([self.last.y, self.golden.y, self.altref.y])
         ref_u = jnp.stack([self.last.u, self.golden.u, self.altref.u])
         ref_v = jnp.stack([self.last.v, self.golden.v, self.altref.v])
         j = jnp.asarray
-        return (ref_y, ref_u, ref_v, j(ref_idx), j(qcoeff), j(eobs),
+        return (ref_y, ref_u, ref_v, j(ref_idx), j(qc_vals),
+                None if qc_idx is None else j(qc_idx), j(y2_big),
                 j(dq_y1), j(dq_y2), j(dq_uv), j(has_y2), j(intra), j(mode),
-                j(uv_mode), j(bmodes), j(y_mv), j(uv_mv),
+                j(uv_mode), j(bmodes), j(mv0), j(uvmv0),
                 j(np.asarray(taps, np.int32)),
-                j(sp_mb), j(sp_tile), j(sp_valid), j(sq_mb), j(sq_quad),
+                j(sp_mb), j(sp_tile), j(sp_mv), j(sp_valid),
+                j(sq_mb), j(sq_quad), j(sq_mv),
                 j(sq_valid), j(flevel), j(mblim_a),
                 j(blim_a), j(lim_a), j(hev_a), j(noskip_a))
 

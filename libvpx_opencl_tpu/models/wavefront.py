@@ -31,6 +31,7 @@ from ..ops import loopfilter as lfops
 from ..ops import predict as P
 
 SENT = 0  # sentinel lane; validity carried by masks
+KD = 8    # diagonals processed per scan step (amortizes per-step overhead)
 
 
 @functools.lru_cache(maxsize=16)
@@ -46,15 +47,13 @@ def schedule(R, C):
       left_ok, up_ok, ar_ok, al_ok [D, M] bool
       mb_d, mb_m      [R*C]    (diagonal, lane) of each MB
     """
-    D = 2 * (R - 1) + C
+    D_real = 2 * (R - 1) + C
+    D = -(-D_real // KD) * KD  # padded so scans can unroll KD diagonals/step
     M = min(R, C // 2 + 1)
-
-    def rlo(d):
-        return max(0, -((C - 1 - d) // 2) if d >= C else 0)
 
     lane_of = {}
     per_d = []
-    for d in range(D):
+    for d in range(D_real):
         mbs = []
         for r in range(max(0, (d - C + 1 + 1) // 2), min(R - 1, d // 2) + 1):
             c = d - 2 * r
@@ -62,6 +61,8 @@ def schedule(R, C):
                 lane_of[(r, c)] = (d, len(mbs))
                 mbs.append((r, c))
         per_d.append(mbs)
+    for _ in range(D_real, D):
+        per_d.append([])
 
     shp = (D, M)
     rr = np.zeros(shp, np.int32)
@@ -125,7 +126,7 @@ def intra_recon_blocks(R, C, sch, inter_y, inter_u, inter_v,
         # read one block [bw,bw] from the store at (d_idx, m_idx)
         return store[d_idx, m_idx]
 
-    def step(carry, d):
+    def do_diag(carry, d):
         sy, su, sv = carry
         r = s["r"][d]
         c = s["c"][d]
@@ -207,10 +208,15 @@ def intra_recon_blocks(R, C, sch, inter_y, inter_u, inter_v,
         sy = jax.lax.dynamic_update_slice(sy, yb[None], (d, 0, 0, 0))
         su = jax.lax.dynamic_update_slice(su, ub[None], (d, 0, 0, 0))
         sv = jax.lax.dynamic_update_slice(sv, vb[None], (d, 0, 0, 0))
-        return (sy, su, sv), None
+        return (sy, su, sv)
+
+    def step(carry, d0):
+        for kk in range(KD):
+            carry = do_diag(carry, d0 + kk)
+        return carry, None
 
     (sy, su, sv), _ = jax.lax.scan(step, (store_y0, store_u0, store_v0),
-                                   jnp.arange(D))
+                                   jnp.arange(0, D, KD))
     # diagonal-major -> MB raster order
     y_blocks = sy[s["mb_d"], s["mb_m"]]
     u_blocks = su[s["mb_d"], s["mb_m"]]
@@ -282,7 +288,7 @@ def loop_filter_blocks(R, C, sch, simple, y_blocks, u_blocks, v_blocks,
     )
     names = list(stores.keys())
 
-    def step(carry, d):
+    def do_diag(carry, d):
         st = dict(zip(names, carry))
         r = s["r"][d]
         c = s["c"][d]
@@ -366,10 +372,15 @@ def loop_filter_blocks(R, C, sch, simple, y_blocks, u_blocks, v_blocks,
             st["Bu"] = chroma_pass("Bu", u_blocks)
             st["Bv"] = chroma_pass("Bv", v_blocks)
 
-        return tuple(st[k] for k in names), None
+        return tuple(st[k] for k in names)
+
+    def step(carry, d0):
+        for kk in range(KD):
+            carry = do_diag(carry, d0 + kk)
+        return carry, None
 
     carry, _ = jax.lax.scan(step, tuple(stores[k] for k in names),
-                            jnp.arange(D))
+                            jnp.arange(0, D, KD))
     st = dict(zip(names, carry))
 
     # final composition: own B + L strip from right neighbor (cols bw-4..)

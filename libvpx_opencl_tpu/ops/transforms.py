@@ -71,12 +71,12 @@ def inv_walsh_batch(blocks):
     return out.reshape(*out.shape[:-2], 16)
 
 
-def compute_residuals(qcoeff, eobs, dq_y1, dq_y2, dq_uv, has_y2):
+def compute_residuals(qcoeff, y2_big, dq_y1, dq_y2, dq_uv, has_y2):
     """Whole-frame dequant + WHT + IDCT.
 
-    qcoeff: [N, 25, 16] int32 (zig-zag-undone raster coefficient order)
-    eobs:   [N, 25] int32
-    dq_*:   [N, 2] int32 (dc, ac) per-MB dequant factors
+    qcoeff: [N, 25, 16] int (zig-zag-undone raster coefficient order)
+    y2_big: [N] bool — eobs[24] > 1 (selects full WHT vs dc-only variant)
+    dq_*:   [N, 2] int (dc, ac) per-MB dequant factors
     has_y2: [N] bool
     Returns (resid_y [N,16,4,4], resid_u [N,4,4,4], resid_v [N,4,4,4]) int32.
 
@@ -86,6 +86,10 @@ def compute_residuals(qcoeff, eobs, dq_y1, dq_y2, dq_uv, has_y2):
     block's full IDCT equals the reference's vp8_dc_only_idct_add fast path).
     """
     n = qcoeff.shape[0]
+    qcoeff = qcoeff.astype(jnp.int32)
+    dq_y1 = dq_y1.astype(jnp.int32)
+    dq_y2 = dq_y2.astype(jnp.int32)
+    dq_uv = dq_uv.astype(jnp.int32)
     # --- Y2 (block 24) ---
     dqv_y2 = jnp.concatenate([dq_y2[:, :1], jnp.repeat(dq_y2[:, 1:], 15, 1)],
                              axis=1)
@@ -93,7 +97,7 @@ def compute_residuals(qcoeff, eobs, dq_y1, dq_y2, dq_uv, has_y2):
     wht_full = inv_walsh_batch(y2.reshape(n, 4, 4))
     # eob<=1 fast path (vp8_short_inv_walsh4x4_1_c): dc replicated
     dc1 = _s16((_s16(qcoeff[:, 24, 0] * dq_y2[:, 0]) + 3) >> 3)
-    wht = jnp.where((eobs[:, 24] > 1)[:, None], wht_full, dc1[:, None])
+    wht = jnp.where(y2_big[:, None], wht_full, dc1[:, None])
     # --- Y blocks ---
     dqv_y1 = jnp.concatenate([dq_y1[:, :1], jnp.repeat(dq_y1[:, 1:], 15, 1)],
                              axis=1)

@@ -34,7 +34,7 @@ def make_sharded_recon_step(mesh, R, C, G):
 
     Shapes (global):
       qcoeff  [G, R*C, 25, 16] int16   sharded (gop, row-of-MB)
-      eobs    [G, R*C, 25]             sharded likewise
+      y2_big  [G, R*C] bool            sharded likewise
       dq      [G, R*C, 2] x3
       has_y2  [G, R*C] bool
       y_mv    [G, R*C, 2] int32        (uniform per-MB MV, tile 0)
@@ -48,7 +48,7 @@ def make_sharded_recon_step(mesh, R, C, G):
     assert R % n_row == 0, "MB rows must divide the row axis"
     Rs = R // n_row
 
-    def per_shard(qcoeff, eobs, dqy1, dqy2, dquv, has_y2, y_mv, ref_idx,
+    def per_shard(qcoeff, y2_big, dqy1, dqy2, dquv, has_y2, y_mv, ref_idx,
                   refs, taps):
         # shard-local shapes: leading G//gop batch dim
         g = qcoeff.shape[0]
@@ -79,7 +79,7 @@ def make_sharded_recon_step(mesh, R, C, G):
             recon = jnp.clip(pred_y + resid_y, 0, 255).astype(jnp.uint8)
             return recon
 
-        recon = jax.vmap(one_frame)(qcoeff, eobs, dqy1, dqy2, dquv, has_y2,
+        recon = jax.vmap(one_frame)(qcoeff, y2_big, dqy1, dqy2, dquv, has_y2,
                                     y_mv, ref_idx, refs)
         # loop-filter boundary halo: send our bottom 4 rows to the next row
         # shard (they are its mbh p-side pixels), ring over 'row'
