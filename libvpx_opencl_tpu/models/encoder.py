@@ -1,0 +1,699 @@
+"""Golden VP8 encoder (host reference model).
+
+A from-scratch encoder producing conforming VP8 streams, validated two ways:
+round-trip bit-exactness through this framework's decoder (itself MD5-exact
+vs the reference vpxdec) and, where the reference binaries are available,
+directly through vpxdec.
+
+Round-1 scope (the encoder grows toward SURVEY.md §2.4 parity in later
+stages): keyframes + inter frames over the LAST reference; per-MB mode
+decision among intra DC/V/H/TM and inter ZEROMV/NEARESTMV/NEARMV/NEWMV with
+full-pel + half/quarter-pel motion search; forward DCT/WHT
+(vp8_short_fdct4x4_c / vp8_short_walsh4x4_c, dct.c:14-116); fast
+quantization (vp8_fast_quantize_b_c, quantize.c:70-100, round factor 48/128
+per vp8cx_init_quantizer quantize.c:433-500); single token partition;
+default probability tables; fixed Q per frame (rate control host layer comes
+next).  Reference state is closed-loop: each packed frame is decoded by the
+framework's own bit-exact decoder to produce the loop-filtered reference
+frames the next frame predicts from (in-loop intra prediction uses the
+encoder's unfiltered reconstruction, matching decodframe semantics).
+
+Bitstream layout mirrors the parser in refdec.decode_frame_core
+(decodframe.c:690-1181), mode coding mirrors decodemv.c, token coding
+mirrors detokenize.c's state machine (incl. the skip-EOB-after-zero rule,
+via tree writes starting at node 2), MV coding mirrors
+read_mvcomponent (decodemv.c:76-107).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import tables as T
+from . import refdec
+from .refdec import (B_PRED, DC_PRED, V_PRED, H_PRED, TM_PRED,
+                     NEARESTMV, NEARMV, ZEROMV, NEWMV, SPLITMV,
+                     INTRA_FRAME, LAST_FRAME, GOLDEN_FRAME, ALTREF_FRAME,
+                     BORDER, RefDecoder, dequant_factors, _s16)
+from .boolenc import BoolEncoder
+
+ZIGZAG = T.ZIGZAG.tolist()
+COEF_BANDS = T.COEF_BANDS.tolist()
+CAT_MIN = [5, 7, 11, 19, 35, 67]
+CAT_PROBS = [T.PCAT1.tolist(), T.PCAT2.tolist(), T.PCAT3.tolist(),
+             T.PCAT4.tolist(), T.PCAT5.tolist(), T.PCAT6.tolist()]
+BLOCK2ABOVE = refdec.BLOCK2ABOVE
+BLOCK2LEFT = refdec.BLOCK2LEFT
+
+
+def fdct4x4(block):
+    """vp8_short_fdct4x4_c (dct.c:14-56). block: 4x4 int array (residual).
+    Returns 16 coeffs raster order."""
+    ip = block.astype(np.int64)
+    tmp = np.zeros((4, 4), np.int64)
+    for i in range(4):
+        a1 = (ip[i, 0] + ip[i, 3]) << 3
+        b1 = (ip[i, 1] + ip[i, 2]) << 3
+        c1 = (ip[i, 1] - ip[i, 2]) << 3
+        d1 = (ip[i, 0] - ip[i, 3]) << 3
+        tmp[i, 0] = a1 + b1
+        tmp[i, 2] = a1 - b1
+        tmp[i, 1] = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+        tmp[i, 3] = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+    out = np.zeros((4, 4), np.int64)
+    for i in range(4):
+        a1 = tmp[0, i] + tmp[3, i]
+        b1 = tmp[1, i] + tmp[2, i]
+        c1 = tmp[1, i] - tmp[2, i]
+        d1 = tmp[0, i] - tmp[3, i]
+        out[0, i] = (a1 + b1 + 7) >> 4
+        out[2, i] = (a1 - b1 + 7) >> 4
+        out[1, i] = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (d1 != 0)
+        out[3, i] = (d1 * 2217 - c1 * 5352 + 51000) >> 16
+    return out.reshape(16).astype(np.int32)
+
+
+def walsh4x4(dcs):
+    """vp8_short_walsh4x4_c (dct.c:64-116). dcs: 16 Y-block DC coeffs in
+    raster order (as a 4x4). Returns 16 Y2 coeffs."""
+    ip = np.asarray(dcs, np.int64).reshape(4, 4)
+    tmp = np.zeros((4, 4), np.int64)
+    for i in range(4):
+        a1 = (ip[i, 0] + ip[i, 2]) << 2
+        d1 = (ip[i, 1] + ip[i, 3]) << 2
+        c1 = (ip[i, 1] - ip[i, 3]) << 2
+        b1 = (ip[i, 0] - ip[i, 2]) << 2
+        tmp[i, 0] = a1 + d1 + (a1 != 0)
+        tmp[i, 1] = b1 + c1
+        tmp[i, 2] = b1 - c1
+        tmp[i, 3] = a1 - d1
+    out = np.zeros((4, 4), np.int64)
+    for i in range(4):
+        a1 = tmp[0, i] + tmp[2, i]
+        d1 = tmp[1, i] + tmp[3, i]
+        c1 = tmp[1, i] - tmp[3, i]
+        b1 = tmp[0, i] - tmp[2, i]
+        a2 = a1 + d1
+        b2 = b1 + c1
+        c2 = b1 - c1
+        d2 = a1 - d1
+        out[0, i] = ((a2 + (a2 < 0)) + 3) >> 3
+        out[1, i] = ((b2 + (b2 < 0)) + 3) >> 3
+        out[2, i] = ((c2 + (c2 < 0)) + 3) >> 3
+        out[3, i] = ((d2 + (d2 < 0)) + 3) >> 3
+    return out.reshape(16).astype(np.int32)
+
+
+def fast_quant(coeffs, dq, first=0):
+    """vp8_fast_quantize_b_c (quantize.c:70-100): y=((x+round)*q16)>>16.
+    round = (48 * dequant) >> 7 (qrounding factor, vp8cx_init_quantizer).
+    coeffs raster [16]; dq = (dc, ac). Returns (levels[16] raster, eob)."""
+    q16 = [(1 << 16) // dq[0], (1 << 16) // dq[1]]
+    rnd = [(48 * dq[0]) >> 7, (48 * dq[1]) >> 7]
+    levels = np.zeros(16, np.int32)
+    eob = 0
+    for i in range(first, 16):
+        rc = ZIGZAG[i]
+        z = int(coeffs[rc])
+        sz = -1 if z < 0 else 0
+        x = abs(z)
+        k = 0 if rc == 0 else 1
+        y = ((x + rnd[k]) * q16[k]) >> 16
+        y = min(y, 2047)  # keep within coded token range (cat6 max)
+        levels[rc] = -y if sz else y
+        if y:
+            eob = i + 1
+    return levels, eob
+
+
+class Encoder:
+    """VP8 encoder producing IVF-compatible frame payloads."""
+
+    def __init__(self, width, height, qindex=24, filter_level=None):
+        self.w, self.h = width, height
+        self.qindex = qindex
+        self.filter_level = (min(63, max(1, qindex // 4 + 2))
+                            if filter_level is None else filter_level)
+        self.R = (height + 15) >> 4
+        self.C = (width + 15) >> 4
+        self.dec = _mk_dec()
+        self.frame_count = 0
+
+    # ------------------------------------------------------------------
+    def encode_frame(self, y, u, v, keyframe=None):
+        """Encode one I420 frame (uint8 planes). Returns the VP8 payload."""
+        if keyframe is None:
+            keyframe = self.frame_count == 0
+        R, C = self.R, self.C
+        b = BORDER
+        b2 = BORDER // 2
+        # padded source (replicate to aligned dims)
+        src = refdec.FrameBuffer(self.w, self.h)
+        sy, su, sv = src.visible()
+        sy[:] = y
+        su[:] = u
+        sv[:] = v
+        # replicate into the aligned area (vp8_copy_and_extend_frame role)
+        bb, bb2 = BORDER, BORDER // 2
+        src.y[bb:bb + src.ah, bb + self.w:bb + src.aw] = \
+            src.y[bb:bb + src.ah, bb + self.w - 1:bb + self.w]
+        src.y[bb + self.h:bb + src.ah, bb:bb + src.aw] = \
+            src.y[bb + self.h - 1:bb + self.h, bb:bb + src.aw]
+        cw, ch = (self.w + 1) // 2, (self.h + 1) // 2
+        for p in (src.u, src.v):
+            p[bb2:bb2 + src.ah // 2, bb2 + cw:bb2 + src.aw // 2] = \
+                p[bb2:bb2 + src.ah // 2, bb2 + cw - 1:bb2 + cw]
+            p[bb2 + ch:bb2 + src.ah // 2, bb2:bb2 + src.aw // 2] = \
+                p[bb2 + ch - 1:bb2 + ch, bb2:bb2 + src.aw // 2]
+        src.extend_borders()
+        self.src = src
+        # unfiltered in-loop reconstruction buffer
+        self.rec = refdec.FrameBuffer(self.w, self.h)
+        self.rec.setup_intra_recon()
+
+        dq = dequant_factors(self.qindex, 0, 0, 0, 0, 0)
+        self.dq_y1, self.dq_y2, self.dq_uv = dq
+
+        # padded mode grids (decoder-mirroring layout)
+        self.mode = np.zeros((R + 1, C + 1), np.int32)
+        self.uvmode = np.zeros((R, C), np.int32)
+        self.reff = np.zeros((R + 1, C + 1), np.int32)
+        self.mv = np.zeros((R + 1, C + 1, 2), np.int32)
+        self.qcoeff = np.zeros((R, C, 25, 16), np.int32)
+        self.eobs = np.zeros((R, C, 25), np.int32)
+
+        ref = None if keyframe else self.dec.last
+        for r in range(R):
+            for c in range(C):
+                self._encode_mb(r, c, keyframe, ref)
+
+        payload = self._pack(keyframe)
+        # closed loop: advance reference state through our decoder
+        self.dec.decode_frame_core(payload)
+        self.frame_count += 1
+        return payload
+
+    # ------------------------------------------------------------------
+    def _encode_mb(self, r, c, keyframe, ref):
+        R, C = self.R, self.C
+        b, b2 = BORDER, BORDER // 2
+        y0, x0 = b + r * 16, b + c * 16
+        cy0, cx0 = b2 + r * 8, b2 + c * 8
+        src_y = self.src.y[y0:y0 + 16, x0:x0 + 16].astype(np.int32)
+        up_avail = r != 0
+        left_avail = c != 0
+
+        # intra y16 candidates from the unfiltered recon neighbors
+        above = self.rec.y[y0 - 1, x0:x0 + 16].astype(np.int32)
+        left = self.rec.y[y0:y0 + 16, x0 - 1].astype(np.int32)
+        tl = int(self.rec.y[y0 - 1, x0 - 1])
+        best_mode, best_cost, best_pred = None, 1 << 60, None
+        for m in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+            pred = RefDecoder._pred_block_16x16(m, above, left, tl,
+                                               up_avail, left_avail, 16) \
+                .astype(np.int32)
+            cost = int(np.abs(src_y - pred).sum())
+            if cost < best_cost:
+                best_mode, best_cost, best_pred = m, cost, pred
+
+        mode, mv, pred_y = best_mode, (0, 0), best_pred
+        is_inter = False
+        if not keyframe:
+            imode, imv, icost, ipred = self._inter_search(r, c, ref, src_y)
+            # prefer inter when clearly better (flat lambda bias)
+            if icost + 300 < best_cost:
+                mode, mv, pred_y = imode, imv, ipred
+                is_inter = True
+
+        pr, pc = r + 1, c + 1
+        self.mode[pr, pc] = mode
+        self.reff[pr, pc] = LAST_FRAME if is_inter else INTRA_FRAME
+        self.mv[pr, pc] = mv
+
+        # chroma prediction
+        if is_inter:
+            cr, cc2 = _uv_mv(mv)
+            pred_u = self._mc_block(ref.u, cy0, cx0, cr, cc2, 8)
+            pred_v = self._mc_block(ref.v, cy0, cx0, cr, cc2, 8)
+            self.uvmode[r, c] = DC_PRED
+        else:
+            bu, bv = self.rec.u, self.rec.v
+            src_u = self.src.u[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.int32)
+            src_v = self.src.v[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.int32)
+            bestm, bestc, bpu, bpv = None, 1 << 60, None, None
+            for m in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+                pu = RefDecoder._pred_block_16x16(
+                    m, bu[cy0 - 1, cx0:cx0 + 8].astype(np.int32),
+                    bu[cy0:cy0 + 8, cx0 - 1].astype(np.int32),
+                    int(bu[cy0 - 1, cx0 - 1]), up_avail, left_avail, 8) \
+                    .astype(np.int32)
+                pv = RefDecoder._pred_block_16x16(
+                    m, bv[cy0 - 1, cx0:cx0 + 8].astype(np.int32),
+                    bv[cy0:cy0 + 8, cx0 - 1].astype(np.int32),
+                    int(bv[cy0 - 1, cx0 - 1]), up_avail, left_avail, 8) \
+                    .astype(np.int32)
+                cost = int(np.abs(src_u - pu).sum() +
+                           np.abs(src_v - pv).sum())
+                if cost < bestc:
+                    bestm, bestc, bpu, bpv = m, cost, pu, pv
+            self.uvmode[r, c] = bestm
+            pred_u, pred_v = bpu, bpv
+
+        # ---- transform + quant + in-loop recon ----
+        resid = src_y - pred_y
+        ycoef = np.zeros((16, 16), np.int32)
+        for i in range(16):
+            by, bx = (i >> 2) * 4, (i & 3) * 4
+            ycoef[i] = fdct4x4(resid[by:by + 4, bx:bx + 4])
+        y2 = walsh4x4(ycoef[:, 0].copy())
+        q2, eob2 = fast_quant(y2, self.dq_y2)
+        self.qcoeff[r, c, 24] = q2
+        self.eobs[r, c, 24] = eob2
+        for i in range(16):
+            ql, eob = fast_quant(ycoef[i], self.dq_y1, first=1)
+            self.qcoeff[r, c, i] = ql
+            self.eobs[r, c, i] = max(eob, 1)
+        # chroma
+        src_u = self.src.u[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.int32)
+        src_v = self.src.v[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.int32)
+        for plane_i, (sp, pp) in enumerate(((src_u, pred_u), (src_v, pred_v))):
+            residc = sp - pp
+            for j in range(4):
+                by, bx = (j >> 1) * 4, (j & 1) * 4
+                coefs = fdct4x4(residc[by:by + 4, bx:bx + 4])
+                ql, eob = fast_quant(coefs, self.dq_uv)
+                self.qcoeff[r, c, 16 + plane_i * 4 + j] = ql
+                self.eobs[r, c, 16 + plane_i * 4 + j] = eob
+
+        # reconstruct exactly as the decoder does (decodframe.c:247-305)
+        self._recon_mb(r, c, pred_y, pred_u, pred_v)
+
+    def _recon_mb(self, r, c, pred_y, pred_u, pred_v):
+        b, b2 = BORDER, BORDER // 2
+        y0, x0 = b + r * 16, b + c * 16
+        cy0, cx0 = b2 + r * 8, b2 + c * 8
+        self.rec.y[y0:y0 + 16, x0:x0 + 16] = np.clip(pred_y, 0, 255)
+        self.rec.u[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(pred_u, 0, 255)
+        self.rec.v[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(pred_v, 0, 255)
+        q = self.qcoeff[r, c].copy()
+        eobs = self.eobs[r, c]
+        dqy2v = np.array([self.dq_y2[0]] + [self.dq_y2[1]] * 15, np.int32)
+        if eobs[24] > 1:
+            dcs = refdec.inv_walsh((q[24] * dqy2v).astype(np.int16))
+        else:
+            dc0 = _s16(int(q[24, 0]) * self.dq_y2[0] & 0xFFFF)
+            dcs = [_s16(((dc0 + 3) >> 3) & 0xFFFF)] * 16
+        dqv = np.array([1] + [self.dq_y1[1]] * 15, np.int32)
+        for i in range(16):
+            by, bx = y0 + (i >> 2) * 4, x0 + (i & 3) * 4
+            qb = q[i].copy()
+            qb[0] = dcs[i]
+            if eobs[i] > 1:
+                refdec.idct4x4_add((qb * dqv).astype(np.int16),
+                                   self.rec.y, by, bx)
+            else:
+                refdec.dc_only_idct_add(
+                    _s16(int(qb[0]) & 0xFFFF), self.rec.y, by, bx)
+        dquv = np.array([self.dq_uv[0]] + [self.dq_uv[1]] * 15, np.int32)
+        for i in range(16, 24):
+            pl = self.rec.u if i < 20 else self.rec.v
+            j = i - 16 if i < 20 else i - 20
+            by = cy0 + (j >> 1) * 4
+            bx = cx0 + (j & 1) * 4
+            if eobs[i] > 1:
+                refdec.idct4x4_add((q[i] * dquv).astype(np.int16),
+                                   pl, by, bx)
+            else:
+                refdec.dc_only_idct_add(
+                    _s16(int(q[i, 0]) * int(dquv[0]) & 0xFFFF), pl, by, bx)
+        self.rec.extend_mb_row(r)
+
+    # ------------------------------------------------------------------
+    def _mc_block(self, plane, py, px, mvr, mvc, n):
+        sy = py + (mvr >> 3)
+        sx = px + (mvc >> 3)
+        if (mvr & 7) or (mvc & 7):
+            return refdec._sixtap_2d(plane, sy, sx, n, n, 0,
+                                     mvc & 7, mvr & 7).astype(np.int32)
+        return plane[sy:sy + n, sx:sx + n].astype(np.int32)
+
+    def _inter_search(self, r, c, ref, src_y):
+        """Full-pel diamond-ish search + half/quarter refine over LAST."""
+        R, C = self.R, self.C
+        b = BORDER
+        y0, x0 = b + r * 16, b + c * 16
+        near, nearest, best_mv, probs, cnt = self._find_near(r, c)
+        # search center: best_mv full-pel
+        cyc, cxc = best_mv[0] >> 3, best_mv[1] >> 3
+        # clamp center so candidates stay within the UMV border
+        rng = 16
+        lo_r = max(-(r * 16) - 16, cyc - rng)
+        hi_r = min((R - 1 - r) * 16 + 16, cyc + rng)
+        lo_c = max(-(c * 16) - 16, cxc - rng)
+        hi_c = min((C - 1 - c) * 16 + 16, cxc + rng)
+        refy = ref.y
+        best = (1 << 60, 0, 0)
+        for dy in range(lo_r, hi_r + 1, 2):
+            for dx in range(lo_c, hi_c + 1, 2):
+                blk = refy[y0 + dy:y0 + dy + 16, x0 + dx:x0 + dx + 16]
+                cost = int(np.abs(src_y - blk.astype(np.int32)).sum())
+                if cost < best[0]:
+                    best = (cost, dy, dx)
+        # refine +-1 full pel
+        _, bdy, bdx = best
+        for dy in (bdy - 1, bdy, bdy + 1):
+            for dx in (bdx - 1, bdx, bdx + 1):
+                if not (lo_r <= dy <= hi_r and lo_c <= dx <= hi_c):
+                    continue
+                blk = refy[y0 + dy:y0 + dy + 16, x0 + dx:x0 + dx + 16]
+                cost = int(np.abs(src_y - blk.astype(np.int32)).sum())
+                if cost < best[0]:
+                    best = (cost, dy, dx)
+        cost_fp, bdy, bdx = best
+        # subpel refine (quarter-pel: mv components even in 1/8 units)
+        bmv = (bdy * 8, bdx * 8)
+        bcost = cost_fp
+        for sub in (4, 2):
+            improved = True
+            while improved:
+                improved = False
+                for ddy, ddx in ((-sub, 0), (sub, 0), (0, -sub), (0, sub)):
+                    cand = (bmv[0] + ddy, bmv[1] + ddx)
+                    if not (lo_r * 8 <= cand[0] <= hi_r * 8 and
+                            lo_c * 8 <= cand[1] <= hi_c * 8):
+                        continue
+                    pred = self._mc_block(refy, y0, x0, cand[0], cand[1], 16)
+                    cost = int(np.abs(src_y - pred).sum())
+                    if cost < bcost:
+                        bcost, bmv = cost, cand
+                        improved = True
+        # choose coding mode for this mv
+        if bmv == (0, 0):
+            mode = ZEROMV
+        elif bmv == nearest:
+            mode = NEARESTMV
+        elif bmv == near:
+            mode = NEARMV
+        else:
+            mode = NEWMV
+        pred = self._mc_block(refy, y0, x0, bmv[0], bmv[1], 16)
+        return mode, bmv, bcost, pred
+
+    def _find_near(self, r, c):
+        """vp8_find_near_mvs + mv_ref_probs for the encoder-side grids
+        (same lattice as refdec._read_mb_modes_mv)."""
+        pr, pc = r + 1, c + 1
+        R, C = self.R, self.C
+        near_mvs = [(0, 0), (0, 0), (0, 0), (0, 0)]
+        cnt = [0, 0, 0, 0]
+        cntx = 0
+        nmv = 0
+        neigh = [((pr - 1, pc), 2), ((pr, pc - 1), 2), ((pr - 1, pc - 1), 1)]
+        for idx, ((nr, nc), w) in enumerate(neigh):
+            nref = int(self.reff[nr, nc])
+            nmvv = (int(self.mv[nr, nc, 0]), int(self.mv[nr, nc, 1]))
+            if nref != INTRA_FRAME:
+                if nmvv != (0, 0):
+                    if idx == 0:
+                        nmv += 1
+                        near_mvs[nmv] = nmvv
+                        cntx += 1
+                    else:
+                        if nmvv != near_mvs[nmv]:
+                            nmv += 1
+                            near_mvs[nmv] = nmvv
+                            cntx += 1
+                    cnt[cntx] += w
+                else:
+                    cnt[0] += w
+            # intra neighbor adds nothing except... (above doesn't add to
+            # CNT_INTRA in the reference; left/al do only when mv==0)
+        # NOTE: the reference adds cnt[0] only for left/al zero-MV inter
+        # neighbors; above zero-MV inter adds cnt[cntx]+=2 with cntx=0 too.
+        if cnt[3] and near_mvs[nmv] == near_mvs[1]:
+            cnt[1] += 1
+        cnt[3] = ((int(self.mode[pr - 1, pc]) == SPLITMV) +
+                  (int(self.mode[pr, pc - 1]) == SPLITMV)) * 2 + \
+                 (int(self.mode[pr - 1, pc - 1]) == SPLITMV)
+        if cnt[2] > cnt[1]:
+            cnt[1], cnt[2] = cnt[2], cnt[1]
+            near_mvs[1], near_mvs[2] = near_mvs[2], near_mvs[1]
+        if cnt[1] >= cnt[0]:
+            near_mvs[0] = near_mvs[1]
+        MARGIN = 16 << 3
+        lo_c_, hi_c_ = -(c * 16 << 3) - MARGIN, ((C - 1 - c) * 16 << 3) + MARGIN
+        lo_r_, hi_r_ = -(r * 16 << 3) - MARGIN, ((R - 1 - r) * 16 << 3) + MARGIN
+
+        def clamp2(mv):
+            return (min(max(mv[0], lo_r_), hi_r_),
+                    min(max(mv[1], lo_c_), hi_c_))
+
+        probs = [int(T.MODE_CONTEXTS[cnt[i], i]) for i in range(4)]
+        return (clamp2(near_mvs[2]), clamp2(near_mvs[1]),
+                clamp2(near_mvs[0]), probs, cnt)
+
+    # ------------------------------------------------------------------
+    # bitstream packing
+
+    def _pack(self, keyframe):
+        R, C = self.R, self.C
+        first = BoolEncoder()
+        if keyframe:
+            first.write_bit(0)  # clr_type
+            first.write_bit(0)  # clamp_type
+        first.write_bit(0)      # segmentation_enabled
+        first.write_bit(0)      # filter_type (normal)
+        first.write_literal(self.filter_level, 6)
+        first.write_literal(0, 3)   # sharpness
+        first.write_bit(0)      # lf delta enabled
+        first.write_literal(0, 2)   # log2 token partitions = 0 (1 partition)
+        first.write_literal(self.qindex, 7)
+        for _ in range(5):
+            first.write_bit(0)  # q deltas absent
+        if not keyframe:
+            first.write_bit(0)  # refresh_golden
+            first.write_bit(0)  # refresh_alt
+            first.write_literal(0, 2)  # copy to gf
+            first.write_literal(0, 2)  # copy to arf
+            first.write_bit(0)  # sign bias gf
+            first.write_bit(0)  # sign bias arf
+        first.write_bit(0)      # refresh_entropy_probs
+        if not keyframe:
+            first.write_bit(1)  # refresh_last
+        up = T.COEF_UPDATE_PROBS
+        for i in range(4):
+            for j in range(8):
+                for k in range(3):
+                    for l in range(11):
+                        first.write(0, int(up[i, j, k, l]))
+        first.write_bit(0)      # mb_no_coeff_skip
+        # mode/mv section (mb_mode_mv_init duals)
+        if not keyframe:
+            n_intra = int((self.reff[1:, 1:] == INTRA_FRAME).sum())
+            n = R * C
+            self.prob_intra = min(254, max(1, 255 * (n - n_intra) // n))
+            self.prob_last = 255
+            self.prob_gf = 128
+            first.write_literal(self.prob_intra, 8)
+            first.write_literal(self.prob_last, 8)
+            first.write_literal(self.prob_gf, 8)
+            first.write_bit(0)  # no ymode prob update
+            first.write_bit(0)  # no uv prob update
+            for comp in range(2):
+                for i in range(19):
+                    first.write(0, int(T.MV_UPDATE_PROBS[comp, i]))
+        for r in range(R):
+            for c in range(C):
+                self._pack_mb_modes(first, r, c, keyframe)
+        part0 = first.stop()
+
+        tokens = BoolEncoder()
+        above_ctx = np.zeros((C, 9), np.int32)
+        for r in range(R):
+            left_ctx = np.zeros(9, np.int32)
+            for c in range(C):
+                self._pack_mb_tokens(tokens, r, c, above_ctx[c], left_ctx)
+        part1 = tokens.stop()
+
+        if keyframe:
+            tag = (0 | (0 << 1) | (1 << 4) | (len(part0) << 5))
+            hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF,
+                         0x9D, 0x01, 0x2A,
+                         self.w & 0xFF, (self.w >> 8) & 0x3F,
+                         self.h & 0xFF, (self.h >> 8) & 0x3F])
+        else:
+            tag = (1 | (0 << 1) | (1 << 4) | (len(part0) << 5))
+            hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        return hdr + part0 + part1
+
+    def _pack_mb_modes(self, e, r, c, keyframe):
+        pr, pc = r + 1, c + 1
+        mode = int(self.mode[pr, pc])
+        if keyframe:
+            e.write_tree(T.KF_YMODE_TREE.tolist(), T.KF_YMODE_PROB.tolist(),
+                         mode)
+            assert mode != B_PRED
+            e.write_tree(T.UV_MODE_TREE.tolist(), T.KF_UV_MODE_PROB.tolist(),
+                         int(self.uvmode[r, c]))
+            return
+        is_inter = int(self.reff[pr, pc]) != INTRA_FRAME
+        e.write(1 if is_inter else 0, self.prob_intra)
+        if not is_inter:
+            e.write_tree(T.YMODE_TREE.tolist(), T.YMODE_PROB.tolist(), mode)
+            assert mode != B_PRED
+            e.write_tree(T.UV_MODE_TREE.tolist(), T.UV_MODE_PROB.tolist(),
+                         int(self.uvmode[r, c]))
+            return
+        e.write(0, self.prob_last)  # LAST_FRAME
+        near, nearest, best, probs, cnt = self._find_near(r, c)
+        mv = (int(self.mv[pr, pc, 0]), int(self.mv[pr, pc, 1]))
+        # mv_ref tree (decodemv.c:407-530 decision structure)
+        if mode == ZEROMV:
+            e.write(0, probs[0])
+        elif mode == NEARESTMV:
+            e.write(1, probs[0])
+            e.write(0, probs[1])
+        elif mode == NEARMV:
+            e.write(1, probs[0])
+            e.write(1, probs[1])
+            e.write(0, probs[2])
+        else:  # NEWMV
+            e.write(1, probs[0])
+            e.write(1, probs[1])
+            e.write(1, probs[2])
+            e.write(0, probs[3])
+            self._write_mv(e, mv[0] - best[0], 0)
+            self._write_mv(e, mv[1] - best[1], 1)
+
+    def _write_mv(self, e, delta, comp):
+        """Dual of read_mvcomponent (decodemv.c:76-107); delta in 1/8 units
+        (must be even)."""
+        assert delta % 2 == 0
+        x = abs(delta) >> 1
+        p = [int(v) for v in T.DEFAULT_MV_CONTEXT[comp]]
+        MVPsign, MVPshort, MVPbits = 1, 2, 9
+        if x < 8:
+            e.write(0, p[0])
+            e.write_tree(T.SMALL_MV_TREE.tolist(), p[MVPshort:], x)
+        else:
+            e.write(1, p[0])
+            for i in range(3):
+                e.write((x >> i) & 1, p[MVPbits + i])
+            for i in range(9, 3, -1):
+                e.write((x >> i) & 1, p[MVPbits + i])
+            if x & 0xFFF0:
+                e.write((x >> 3) & 1, p[MVPbits + 3])
+        if x:
+            e.write(1 if delta < 0 else 0, p[MVPsign])
+
+    def _pack_mb_tokens(self, e, r, c, actx, lctx):
+        """Dual of the detokenize state machine for one MB."""
+        pr, pc = r + 1, c + 1
+        mode = int(self.mode[pr, pc])
+        has_y2 = mode not in (B_PRED, SPLITMV)
+        cp = self.dec.fc.coef_probs  # default tables (no updates sent)
+        order = ([24] + list(range(16)) + list(range(16, 24))) if has_y2 \
+            else (list(range(16)) + list(range(16, 24)))
+        for i in order:
+            if has_y2:
+                btype = 1 if i == 24 else (0 if i < 16 else 2)
+            else:
+                btype = 3 if i < 16 else 2
+            start = 1 if (has_y2 and i < 16) else 0
+            ia, il = BLOCK2ABOVE[i], BLOCK2LEFT[i]
+            ctx = int(actx[ia] + lctx[il])
+            q = self.qcoeff[r, c, i]
+            eob = int(self.eobs[r, c, i])
+            nonzero = self._pack_block_tokens(e, q, eob, start, ctx,
+                                              cp[btype])
+            actx[ia] = lctx[il] = 1 if nonzero else 0
+
+    def _pack_block_tokens(self, e, q, eob, start, ctx, probs):
+        cpos = start
+        prev_zero = False
+        nonzero = False
+        while cpos < 16:
+            p = [int(x) for x in probs[COEF_BANDS[cpos], ctx]]
+            if cpos >= eob:
+                if not prev_zero:
+                    e.write(0, p[0])  # EOB
+                break
+            v = int(q[ZIGZAG[cpos]])
+            if not prev_zero:
+                e.write(1, p[0])
+            if v == 0:
+                e.write(0, p[1])
+                ctx = 0
+                prev_zero = True
+                cpos += 1
+                continue
+            e.write(1, p[1])
+            nonzero = True
+            prev_zero = False
+            av = abs(v)
+            if av == 1:
+                e.write(0, p[2])
+                ctx = 1
+            else:
+                e.write(1, p[2])
+                ctx = 2
+                if av <= 4:
+                    e.write(0, p[3])
+                    if av == 2:
+                        e.write(0, p[4])
+                    else:
+                        e.write(1, p[4])
+                        e.write(av - 3, p[5])
+                elif av <= 10:
+                    e.write(1, p[3])
+                    e.write(0, p[6])
+                    if av <= 6:
+                        e.write(0, p[7])
+                        self._write_cat(e, 0, av)
+                    else:
+                        e.write(1, p[7])
+                        self._write_cat(e, 1, av)
+                elif av <= 34:
+                    e.write(1, p[3])
+                    e.write(1, p[6])
+                    e.write(0, p[8])
+                    if av <= 18:
+                        e.write(0, p[9])
+                        self._write_cat(e, 2, av)
+                    else:
+                        e.write(1, p[9])
+                        self._write_cat(e, 3, av)
+                elif av <= 66:
+                    e.write(1, p[3])
+                    e.write(1, p[6])
+                    e.write(1, p[8])
+                    e.write(0, p[10])
+                    self._write_cat(e, 4, av)
+                else:
+                    e.write(1, p[3])
+                    e.write(1, p[6])
+                    e.write(1, p[8])
+                    e.write(1, p[10])
+                    self._write_cat(e, 5, av)
+            e.write(1 if v < 0 else 0, 128)  # sign
+            cpos += 1
+        return nonzero
+
+    def _write_cat(self, e, cat, av):
+        extra = av - CAT_MIN[cat]
+        probs = CAT_PROBS[cat]
+        nb = len(probs)
+        for i, p in enumerate(probs):
+            e.write((extra >> (nb - 1 - i)) & 1, int(p))
+
+
+def _uv_mv(mv):
+    """chroma MV derivation (reconinter.c:418-424)."""
+    def h(v):
+        w = v + (1 if v >= 0 else -1)
+        return w // 2 if w >= 0 else -((-w) // 2)
+    return h(mv[0]), h(mv[1])
+
+
+def _mk_dec():
+    cls = type("NativeDec", (RefDecoder,), {"use_native": True})
+    return cls()

@@ -1,0 +1,82 @@
+"""Encoder conformance: round-trip through the (vpxdec-bit-exact) decoder,
+closed-loop reference consistency, and quality sanity."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from conftest import vector  # noqa: F401
+from libvpx_opencl_tpu.models.encoder import Encoder
+from libvpx_opencl_tpu.models.refdec import RefDecoder
+from libvpx_opencl_tpu.utils.ivf import IvfStream, write_ivf
+from libvpx_opencl_tpu.utils.md5 import frame_md5
+
+
+def synth(w, h, n, seed=9):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = []
+    for t in range(n):
+        y = ((xx + yy + 7 * t) % 220 + 10).astype(np.uint8)
+        y[20:60, 30 + 3 * t:70 + 3 * t] = 200
+        u = ((xx[::2, ::2] // 2 + t) % 255).astype(np.uint8)
+        v = ((yy[::2, ::2] // 2 + 255 - t) % 255).astype(np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255 ** 2 / mse) if mse > 0 else 99.0
+
+
+def test_encode_decode_roundtrip():
+    frames = synth(176, 144, 4)
+    enc = Encoder(176, 144, qindex=24)
+    dec = type("D", (RefDecoder,), {"use_native": True})()
+    for i, (y, u, v) in enumerate(frames):
+        payload = enc.encode_frame(y, u, v)
+        show, (dy, du, dv) = dec.decode_frame(payload)
+        assert show == 1
+        p = psnr(y, dy)
+        assert p > 33.0, f"frame {i} PSNR {p}"
+    # closed loop: encoder's reference state == independent decode
+    ey, eu, ev = enc.dec.frame_to_show.visible()
+    assert np.array_equal(ey, dy)
+
+
+def test_encode_odd_dims():
+    frames = synth(66, 50, 3, seed=3)
+    enc = Encoder(66, 50, qindex=30)
+    dec = type("D", (RefDecoder,), {"use_native": True})()
+    for y, u, v in frames:
+        payload = enc.encode_frame(y, u, v)
+        show, (dy, du, dv) = dec.decode_frame(payload)
+        assert dy.shape == (50, 66)
+        assert psnr(y, dy) > 30.0
+
+
+VPXDEC = "/tmp/vpxsrc/vpxdec"
+
+
+@pytest.mark.skipif(not os.path.exists(VPXDEC),
+                    reason="reference vpxdec not built")
+def test_reference_vpxdec_accepts_our_stream(tmp_path):
+    frames = synth(176, 144, 4)
+    enc = Encoder(176, 144, qindex=24)
+    dec = type("D", (RefDecoder,), {"use_native": True})()
+    stream = IvfStream(width=176, height=144)
+    ours = []
+    for i, (y, u, v) in enumerate(frames):
+        p = enc.encode_frame(y, u, v)
+        stream.frames.append((p, i))
+        _, planes = dec.decode_frame(p)
+        ours.append(frame_md5(*planes))
+    ivf = str(tmp_path / "ours.ivf")
+    write_ivf(ivf, stream)
+    r = subprocess.run([VPXDEC, "--md5", "--i420", "-o", "f-%4.md5", ivf],
+                       capture_output=True, text=True, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    ref = [l.split()[0] for l in r.stdout.splitlines() if l.strip()]
+    assert ref == ours
