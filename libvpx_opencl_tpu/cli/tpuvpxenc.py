@@ -1,0 +1,87 @@
+"""tpuvpxenc — VP8 encoder CLI with vpxenc-compatible flags.
+
+Mirrors the reference tool's interface (vpxenc.c arg tables: --target-bitrate,
+--end-usage, --kf-max-dist, --token-parts, --psnr, IVF output) over the
+framework encoder with the host rate-control layer.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpuvpxenc")
+    p.add_argument("input", help="input .y4m file")
+    p.add_argument("-o", "--output", required=True, help="output IVF file")
+    p.add_argument("--codec", default="vp8")
+    p.add_argument("--ivf", action="store_true", default=True)
+    p.add_argument("--target-bitrate", type=int, default=256,
+                   help="kbps (end-usage vbr/cbr)")
+    p.add_argument("--end-usage", default="vbr", choices=["vbr", "cbr", "cq"])
+    p.add_argument("--cq-level", type=int, default=24,
+                   help="fixed quantizer index for --end-usage=cq")
+    p.add_argument("--min-q", type=int, default=4)
+    p.add_argument("--max-q", type=int, default=63)
+    p.add_argument("--kf-max-dist", type=int, default=128)
+    p.add_argument("--kf-min-dist", type=int, default=0)
+    p.add_argument("--token-parts", type=int, default=0, choices=[0, 1, 2, 3])
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--passes", type=int, default=1)
+    p.add_argument("--cpu-used", type=int, default=0)
+    p.add_argument("--psnr", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..models.encoder import Encoder
+    from ..models.ratecontrol import RateController
+    from ..ops.metrics import frame_psnr
+    from ..utils.ivf import IvfStream, write_ivf
+    from ..utils.y4m import Y4MReader
+
+    rd = Y4MReader(args.input)
+    enc = Encoder(rd.w, rd.h, qindex=args.cq_level,
+                  token_parts=args.token_parts)
+    mb_count = ((rd.h + 15) // 16) * ((rd.w + 15) // 16)
+    rc = None
+    if args.end_usage in ("vbr", "cbr"):
+        rc = RateController(args.target_bitrate,
+                            rd.fps[0] / max(1, rd.fps[1]), mb_count,
+                            min_q=args.min_q, max_q=args.max_q)
+    stream = IvfStream(width=rd.w, height=rd.h,
+                       timebase_num=rd.fps[1], timebase_den=rd.fps[0])
+    t0 = time.time()
+    psnr_acc = []
+    n = 0
+    for i, (y, u, v) in enumerate(rd):
+        keyframe = (i == 0) or (args.kf_max_dist > 0 and
+                                i % max(1, args.kf_max_dist) == 0)
+        if rc is not None:
+            enc.qindex = rc.frame_q(keyframe)
+        payload = enc.encode_frame(y, u, v, keyframe=keyframe)
+        stream.frames.append((payload, i))
+        if rc is not None:
+            rc.update(enc.qindex, len(payload) * 8, keyframe)
+        if args.psnr:
+            rec = enc.dec.frame_to_show.visible()
+            psnr_acc.append(frame_psnr((y, u, v), rec)["all"])
+        n += 1
+        sys.stderr.write(f"\rPass 1/1 frame {n} "
+                         f"{sum(len(f[0]) for f in stream.frames)}B")
+        if args.limit and n >= args.limit:
+            break
+    write_ivf(args.output, stream)
+    dt = time.time() - t0
+    total = sum(len(f[0]) for f in stream.frames)
+    fps = rd.fps[0] / max(1, rd.fps[1])
+    kbps = total * 8 * fps / max(1, n) / 1000
+    sys.stderr.write(f"\n{n} frames, {total} bytes ({kbps:.0f} kbps) "
+                     f"in {dt:.1f}s ({n/dt:.2f} fps)\n")
+    if args.psnr and psnr_acc:
+        sys.stderr.write(f"Overall PSNR (avg-all): "
+                         f"{sum(psnr_acc)/len(psnr_acc):.2f} dB\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -128,15 +128,23 @@ def fast_quant(coeffs, dq, first=0):
 class Encoder:
     """VP8 encoder producing IVF-compatible frame payloads."""
 
-    def __init__(self, width, height, qindex=24, filter_level=None):
+    def __init__(self, width, height, qindex=24, filter_level=None,
+                 token_parts=0, mb_no_coeff_skip=True):
         self.w, self.h = width, height
         self.qindex = qindex
-        self.filter_level = (min(63, max(1, qindex // 4 + 2))
-                            if filter_level is None else filter_level)
+        self.fixed_filter = filter_level
+        self.token_parts = token_parts  # log2 of partition count (0..3)
+        self.mb_no_coeff_skip = mb_no_coeff_skip
         self.R = (height + 15) >> 4
         self.C = (width + 15) >> 4
         self.dec = _mk_dec()
         self.frame_count = 0
+
+    @property
+    def filter_level(self):
+        if self.fixed_filter is not None:
+            return self.fixed_filter
+        return min(63, max(1, self.qindex // 4 + 2))
 
     # ------------------------------------------------------------------
     def encode_frame(self, y, u, v, keyframe=None):
@@ -185,6 +193,21 @@ class Encoder:
         for r in range(R):
             for c in range(C):
                 self._encode_mb(r, c, keyframe, ref)
+
+        # per-MB skip decision (decode_macroblock's eobtotal==0 semantics)
+        self.skip = np.zeros((R, C), np.int32)
+        if self.mb_no_coeff_skip:
+            for r in range(R):
+                for c in range(C):
+                    has_y2 = int(self.mode[r + 1, c + 1]) not in (B_PRED,
+                                                                  SPLITMV)
+                    e = self.eobs[r, c]
+                    total = int(e.sum()) - (16 if has_y2 else 0) \
+                        - (int(e[24]) if not has_y2 else 0)
+                    if has_y2:
+                        self.skip[r, c] = int(total == 0)
+                    else:
+                        self.skip[r, c] = int(e[:24].sum() == 0)
 
         payload = self._pack(keyframe)
         # closed loop: advance reference state through our decoder
@@ -465,7 +488,7 @@ class Encoder:
         first.write_literal(self.filter_level, 6)
         first.write_literal(0, 3)   # sharpness
         first.write_bit(0)      # lf delta enabled
-        first.write_literal(0, 2)   # log2 token partitions = 0 (1 partition)
+        first.write_literal(self.token_parts, 2)  # log2 token partitions
         first.write_literal(self.qindex, 7)
         for _ in range(5):
             first.write_bit(0)  # q deltas absent
@@ -485,8 +508,13 @@ class Encoder:
                 for k in range(3):
                     for l in range(11):
                         first.write(0, int(up[i, j, k, l]))
-        first.write_bit(0)      # mb_no_coeff_skip
+        first.write_bit(1 if self.mb_no_coeff_skip else 0)
         # mode/mv section (mb_mode_mv_init duals)
+        if self.mb_no_coeff_skip:
+            n = R * C
+            nskip = int(self.skip.sum())
+            self.prob_skip_false = min(255, max(1, 256 * (n - nskip) // n))
+            first.write_literal(self.prob_skip_false, 8)
         if not keyframe:
             n_intra = int((self.reff[1:, 1:] == INTRA_FRAME).sum())
             n = R * C
@@ -506,13 +534,20 @@ class Encoder:
                 self._pack_mb_modes(first, r, c, keyframe)
         part0 = first.stop()
 
-        tokens = BoolEncoder()
+        nparts = 1 << self.token_parts
+        encs = [BoolEncoder() for _ in range(nparts)]
         above_ctx = np.zeros((C, 9), np.int32)
         for r in range(R):
             left_ctx = np.zeros(9, np.int32)
+            tokens = encs[r % nparts]
             for c in range(C):
                 self._pack_mb_tokens(tokens, r, c, above_ctx[c], left_ctx)
-        part1 = tokens.stop()
+        parts = [e.stop() for e in encs]
+        sizes = b""
+        for p in parts[:-1]:
+            sizes += bytes([len(p) & 0xFF, (len(p) >> 8) & 0xFF,
+                            (len(p) >> 16) & 0xFF])
+        part1 = sizes + b"".join(parts)
 
         if keyframe:
             tag = (0 | (0 << 1) | (1 << 4) | (len(part0) << 5))
@@ -528,6 +563,8 @@ class Encoder:
     def _pack_mb_modes(self, e, r, c, keyframe):
         pr, pc = r + 1, c + 1
         mode = int(self.mode[pr, pc])
+        if self.mb_no_coeff_skip:
+            e.write(int(self.skip[r, c]), self.prob_skip_false)
         if keyframe:
             e.write_tree(T.KF_YMODE_TREE.tolist(), T.KF_YMODE_PROB.tolist(),
                          mode)
@@ -590,6 +627,14 @@ class Encoder:
         pr, pc = r + 1, c + 1
         mode = int(self.mode[pr, pc])
         has_y2 = mode not in (B_PRED, SPLITMV)
+        if self.mb_no_coeff_skip and self.skip[r, c]:
+            # vp8_reset_mb_tokens_context dual (detokenize.c:70-84)
+            actx[:8] = 0
+            lctx[:8] = 0
+            if has_y2:
+                actx[8] = 0
+                lctx[8] = 0
+            return
         cp = self.dec.fc.coef_probs  # default tables (no updates sent)
         order = ([24] + list(range(16)) + list(range(16, 24))) if has_y2 \
             else (list(range(16)) + list(range(16, 24)))
