@@ -1,0 +1,288 @@
+"""TPU-native VP8 encoder.
+
+Device pipeline (the encoder twin of tpu_decoder, covering the reference's
+hot encoder path — SURVEY.md §2.4 ME/FDCT/quant/SIMD rows):
+
+  A. decision program: whole-frame batched motion search (ops/me.py dense
+     step-2 grid + full-pel refine + half/quarter-pel refine through the
+     production MC kernel) and batched intra DC/V/H/TM costs; per-MB
+     inter/intra choice as array ops;
+  B. encode program: batched MC predictions for the chosen MVs, then the
+     encode wavefront (wavefront.encode_recon_blocks) — intra predictions
+     from true reconstructed neighbors, FDCT/WHT + quantization, and
+     decoder-exact in-loop reconstruction;
+  C. loop filter wavefront (shared with the decoder) + border extension →
+     device-resident reference frames for the next frame's search.
+
+The host packs the bitstream (mode/MV/token entropy layer shared with the
+golden Encoder) — mv→mode mapping against the near-MV lattice happens at
+pack time once all per-MB decisions are final.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import me as ME
+from ..ops import predict as P
+from ..ops import transforms as tf
+from . import refdec, wavefront as wf
+from .encoder import Encoder, _uv_mv
+from .refdec import (DC_PRED, V_PRED, H_PRED, TM_PRED, ZEROMV, NEWMV,
+                     NEARESTMV, NEARMV, INTRA_FRAME, LAST_FRAME, BORDER,
+                     dequant_factors)
+from .tpu_decoder import B, B2, DeviceFrame, _extend_borders
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _decide_device(R, C, ref_y, src_y_plane, src_y_blocks, centers, taps,
+                   lo_r, hi_r, lo_c, hi_c):
+    """Program A: motion search + intra costs + choice."""
+    N = R * C
+    mb = jnp.arange(N)
+    mb_pos = jnp.stack([B + (mb // C) * 16, B + (mb % C) * 16], 1)
+    mv_fp, sad_fp = ME.full_search(ref_y, src_y_blocks, centers, mb_pos)
+    mv8, sad = ME.subpel_refine(ref_y, src_y_blocks, mb_pos, mv_fp, sad_fp,
+                                taps, (lo_r, hi_r, lo_c, hi_c))
+    icosts = ME.intra_mode_costs(src_y_plane, src_y_blocks, mb_pos, R, C, 16)
+    ibest = jnp.argmin(icosts, axis=1)
+    icost = jnp.min(icosts, axis=1)
+    use_inter = sad + 300 < icost
+    return mv8, sad, ibest.astype(jnp.int32), icost, use_inter
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _encode_device(R, C, ref_y, ref_u, ref_v,
+                   src_y_blocks, src_u_blocks, src_v_blocks,
+                   src_u_plane, src_v_plane,
+                   mode, uv_mode, intra, mv8, taps, dq_y1, dq_y2, dq_uv):
+    """Program B: MC preds + encode wavefront."""
+    N = R * C
+    sch = wf.schedule(R, C)
+    mb = jnp.arange(N)
+    mb_r, mb_c = mb // C, mb % C
+    # luma MC
+    sy = B + mb_r * 16 + (mv8[:, 0] >> 3)
+    sx = B + mb_c * 16 + (mv8[:, 1] >> 3)
+    zero = jnp.zeros(N, jnp.int32)
+    pred_y = P.mc_predict_blocks(ref_y[None], zero, jnp.stack([sy, sx], 1),
+                                 mv8[:, 1] & 7, mv8[:, 0] & 7, taps, 16)
+    # chroma MV derivation (reconinter.c:418-424)
+    w_r = mv8[:, 0] + jnp.where(mv8[:, 0] >= 0, 1, -1)
+    w_c = mv8[:, 1] + jnp.where(mv8[:, 1] >= 0, 1, -1)
+    uv_r = jnp.sign(w_r) * (jnp.abs(w_r) // 2)
+    uv_c = jnp.sign(w_c) * (jnp.abs(w_c) // 2)
+    csy = B2 + mb_r * 8 + (uv_r >> 3)
+    csx = B2 + mb_c * 8 + (uv_c >> 3)
+    cstarts = jnp.stack([csy, csx], 1)
+    pred_u = P.mc_predict_blocks(ref_u[None], zero, cstarts, uv_c & 7,
+                                 uv_r & 7, taps, 8)
+    pred_v = P.mc_predict_blocks(ref_v[None], zero, cstarts, uv_c & 7,
+                                 uv_r & 7, taps, 8)
+    # chroma intra mode for intra MBs
+    cpos = jnp.stack([B2 + mb_r * 8, B2 + mb_c * 8], 1)
+    ucost = ME.intra_mode_costs(src_u_plane, src_u_blocks, cpos, R, C, 8)
+    vcost = ME.intra_mode_costs(src_v_plane, src_v_blocks, cpos, R, C, 8)
+    uvm = jnp.argmin(ucost + vcost, axis=1).astype(jnp.int32)
+    uv_mode = jnp.where(intra, uvm, DC_PRED)
+
+    qcoeff, eobs, ry, ru, rv = wf.encode_recon_blocks(
+        R, C, sch, src_y_blocks, src_u_blocks, src_v_blocks,
+        pred_y, pred_u, pred_v, mode, uv_mode, intra, dq_y1, dq_y2, dq_uv)
+    return (qcoeff.astype(jnp.int16), eobs.astype(jnp.int32), uv_mode,
+            ry, ru, rv)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _lf_device(R, C, do_lf, ry, ru, rv, flevel, mblim_a, blim_a, lim_a,
+               hev_a, noskip_a):
+    """Program C: loop filter + plane assembly + border extension."""
+    sch = wf.schedule(R, C)
+    if do_lf:
+        ry, ru, rv = wf.loop_filter_blocks(
+            R, C, sch, False, ry, ru, rv, flevel, mblim_a, blim_a, lim_a,
+            hev_a, noskip_a)
+    HP, WP = R * 16 + 2 * B, C * 16 + 2 * B
+    HPc, WPc = R * 8 + 2 * B2, C * 8 + 2 * B2
+    cy = jnp.zeros((HP, WP), jnp.uint8)
+    cu = jnp.zeros((HPc, WPc), jnp.uint8)
+    cv = jnp.zeros((HPc, WPc), jnp.uint8)
+    cy = jax.lax.dynamic_update_slice(
+        cy, tf.mbs_to_plane(ry, R, C, 16).astype(jnp.uint8), (B, B))
+    cu = jax.lax.dynamic_update_slice(
+        cu, tf.mbs_to_plane(ru, R, C, 8).astype(jnp.uint8), (B2, B2))
+    cv = jax.lax.dynamic_update_slice(
+        cv, tf.mbs_to_plane(rv, R, C, 8).astype(jnp.uint8), (B2, B2))
+    cy = _extend_borders(cy, B, C * 16, R * 16)
+    cu = _extend_borders(cu, B2, C * 8, R * 8)
+    cv = _extend_borders(cv, B2, C * 8, R * 8)
+    return cy, cu, cv
+
+
+class TPUEncoder(Encoder):
+    """VP8 encoder with the pixel pipeline on the TPU (decision + transform
+    + reconstruction + loop filter device-side; entropy packing host-side).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        R, C = self.R, self.C
+        HP, WP = R * 16 + 2 * B, C * 16 + 2 * B
+        HPc, WPc = R * 8 + 2 * B2, C * 8 + 2 * B2
+        z = DeviceFrame(jnp.zeros((HP, WP), jnp.uint8),
+                        jnp.zeros((HPc, WPc), jnp.uint8),
+                        jnp.zeros((HPc, WPc), jnp.uint8), self.w, self.h)
+        self.ref = z
+        self.prev_mv = np.zeros((R * C, 2), np.int32)
+
+    def encode_frame(self, y, u, v, keyframe=None):
+        if keyframe is None:
+            keyframe = self.frame_count == 0
+        R, C = self.R, self.C
+        N = R * C
+        # source planes, aligned + padded like the golden encoder
+        src = refdec.FrameBuffer(self.w, self.h)
+        sy_, su_, sv_ = src.visible()
+        sy_[:] = y
+        su_[:] = u
+        sv_[:] = v
+        bb, bb2 = BORDER, BORDER // 2
+        src.y[bb:bb + src.ah, bb + self.w:bb + src.aw] = \
+            src.y[bb:bb + src.ah, bb + self.w - 1:bb + self.w]
+        src.y[bb + self.h:bb + src.ah, bb:bb + src.aw] = \
+            src.y[bb + self.h - 1:bb + self.h, bb:bb + src.aw]
+        cw, ch = (self.w + 1) // 2, (self.h + 1) // 2
+        for p in (src.u, src.v):
+            p[bb2:bb2 + src.ah // 2, bb2 + cw:bb2 + src.aw // 2] = \
+                p[bb2:bb2 + src.ah // 2, bb2 + cw - 1:bb2 + cw]
+            p[bb2 + ch:bb2 + src.ah // 2, bb2:bb2 + src.aw // 2] = \
+                p[bb2 + ch - 1:bb2 + ch, bb2:bb2 + src.aw // 2]
+
+        j = jnp.asarray
+        src_y_pl = j(src.y)
+        src_u_pl = j(src.u)
+        src_v_pl = j(src.v)
+        iy = src.y[bb:bb + R * 16, bb:bb + C * 16]
+        iu = src.u[bb2:bb2 + R * 8, bb2:bb2 + C * 8]
+        iv = src.v[bb2:bb2 + R * 8, bb2:bb2 + C * 8]
+        yb = j(iy.reshape(R, 16, C, 16).transpose(0, 2, 1, 3)
+               .reshape(N, 16, 16).astype(np.int32))
+        ub = j(iu.reshape(R, 8, C, 8).transpose(0, 2, 1, 3)
+               .reshape(N, 8, 8).astype(np.int32))
+        vb = j(iv.reshape(R, 8, C, 8).transpose(0, 2, 1, 3)
+               .reshape(N, 8, 8).astype(np.int32))
+        taps = j(np.asarray(P.SIXTAP_TABLE, np.int32))
+
+        mbr = np.arange(N) // C
+        mbc = np.arange(N) % C
+        lo_r = j(((-(mbr * 16) - 16) * 8).astype(np.int32))
+        hi_r = j((((R - 1 - mbr) * 16 + 16) * 8).astype(np.int32))
+        lo_c = j(((-(mbc * 16) - 16) * 8).astype(np.int32))
+        hi_c = j((((C - 1 - mbc) * 16 + 16) * 8).astype(np.int32))
+
+        if keyframe:
+            mv8 = np.zeros((N, 2), np.int32)
+            intra = np.ones(N, bool)
+            # intra mode choice on device
+            mb_pos = np.stack([B + mbr * 16, B + mbc * 16], 1)
+            icosts = ME.intra_mode_costs(src_y_pl, yb, j(mb_pos), R, C, 16)
+            ymode = np.asarray(jnp.argmin(icosts, axis=1)).astype(np.int32)
+        else:
+            lo = np.stack([-(mbr * 16) - 16, -(mbc * 16) - 16], 1)
+            hi = np.stack([(R - 1 - mbr) * 16 + 16, (C - 1 - mbc) * 16 + 16],
+                          1)
+            centers = np.clip(self.prev_mv >> 3, lo, hi)
+            mv8_d, sad, ibest, icost, use_inter = _decide_device(
+                R, C, self.ref.y, src_y_pl, yb, j(centers.astype(np.int32)),
+                taps, lo_r, hi_r, lo_c, hi_c)
+            mv8 = np.array(mv8_d)
+            intra = ~np.asarray(use_inter)
+            ymode = np.asarray(ibest).astype(np.int32)
+            mv8[intra] = 0
+
+        dqs = dequant_factors(self.qindex, 0, 0, 0, 0, 0)
+        self.dq_y1, self.dq_y2, self.dq_uv = dqs
+        dq1 = j(np.tile(np.asarray(dqs[0], np.int32), (N, 1)))
+        dq2 = j(np.tile(np.asarray(dqs[1], np.int32), (N, 1)))
+        dqu = j(np.tile(np.asarray(dqs[2], np.int32), (N, 1)))
+
+        mode_dev = j(ymode.astype(np.int32))
+        qcoeff, eobs, uv_mode_d, ry, ru, rv = _encode_device(
+            R, C, self.ref.y, self.ref.u, self.ref.v, yb, ub, vb,
+            src_u_pl, src_v_pl, mode_dev, j(np.zeros(N, np.int32)),
+            j(intra), j(mv8.astype(np.int32)), taps, dq1, dq2, dqu)
+        qcoeff, eobs, uv_mode = jax.device_get((qcoeff, eobs, uv_mode_d))
+
+        # host-side grids for packing
+        self.mode = np.zeros((R + 1, C + 1), np.int32)
+        self.uvmode = uv_mode.reshape(R, C).astype(np.int32)
+        self.reff = np.zeros((R + 1, C + 1), np.int32)
+        self.mv = np.zeros((R + 1, C + 1, 2), np.int32)
+        self.qcoeff = qcoeff.reshape(R, C, 25, 16).astype(np.int32)
+        self.eobs = eobs.reshape(R, C, 25)
+        self.mode[1:, 1:] = ymode.reshape(R, C)
+        self.reff[1:, 1:] = np.where(intra.reshape(R, C), INTRA_FRAME,
+                                     LAST_FRAME)
+        self.mv[1:, 1:, 0] = mv8[:, 0].reshape(R, C)
+        self.mv[1:, 1:, 1] = mv8[:, 1].reshape(R, C)
+        # map chosen MVs to the cheapest coding mode at pack time
+        if not keyframe:
+            for r in range(R):
+                for c in range(C):
+                    if self.reff[r + 1, c + 1] == INTRA_FRAME:
+                        continue
+                    mvv = (int(self.mv[r + 1, c + 1, 0]),
+                           int(self.mv[r + 1, c + 1, 1]))
+                    if mvv == (0, 0):
+                        self.mode[r + 1, c + 1] = ZEROMV
+                    else:
+                        near, nearest, best, probs, cnt = self._find_near(r, c)
+                        if mvv == nearest:
+                            self.mode[r + 1, c + 1] = NEARESTMV
+                        elif mvv == near:
+                            self.mode[r + 1, c + 1] = NEARMV
+                        else:
+                            self.mode[r + 1, c + 1] = NEWMV
+
+        # skip decision
+        self.skip = np.zeros((R, C), np.int32)
+        if self.mb_no_coeff_skip:
+            tot = self.eobs.sum(axis=2) - 16
+            self.skip = (tot == 0).astype(np.int32)
+
+        payload = self._pack(keyframe)
+
+        # loop filter + reference update on device
+        flevel, mblim_a, blim_a, lim_a, hev_a, noskip_a = \
+            self._lf_params(keyframe)
+        cy, cu, cv = _lf_device(R, C, self.filter_level > 0, ry, ru, rv,
+                                j(flevel), j(mblim_a), j(blim_a), j(lim_a),
+                                j(hev_a), j(noskip_a))
+        self.ref = DeviceFrame(cy, cu, cv, self.w, self.h)
+        self.prev_mv = mv8.copy()
+        self.frame_count += 1
+        return payload
+
+    def _lf_params(self, keyframe):
+        """Per-MB loop filter params (loopfilter.c:25-95, sharpness 0)."""
+        R, C = self.R, self.C
+        N = R * C
+        fl = self.filter_level
+        inner = max(1, fl)  # block_inside_limit at sharpness 0
+        if fl >= 40:
+            hev = 2 if keyframe else 3
+        elif fl >= 20:
+            hev = 1 if keyframe else 2
+        elif fl >= 15:
+            hev = 1
+        else:
+            hev = 0
+        noskip = ~(self.skip.reshape(N) != 0)
+        return (np.full(N, fl, np.int32),
+                np.full(N, 2 * (fl + 2) + inner, np.int32),
+                np.full(N, 2 * fl + inner, np.int32),
+                np.full(N, inner, np.int32),
+                np.full(N, hev, np.int32), noskip)

@@ -229,6 +229,140 @@ SPLITMV_M = 9
 
 
 # ---------------------------------------------------------------------------
+# encoder wavefront: predict -> FDCT/WHT -> quant -> dequant/IDCT recon
+
+def encode_recon_blocks(R, C, sch, src_y_b, src_u_b, src_v_b,
+                        inter_y, inter_u, inter_v,
+                        mode, uv_mode, intra, dq_y1, dq_y2, dq_uv):
+    """Whole-frame encode pass over the wavefront (the encoder twin of
+    intra_recon_blocks): intra predictions read true reconstructed
+    neighbors from the diagonal store, residuals are transformed and
+    quantized (dct.c / quantize.c duals), and the in-loop reconstruction
+    (decodframe.c residual path) feeds the next diagonal.
+
+    src_*_b: [N,16,16]/[N,8,8] int32 source blocks
+    inter_*: [N,...] int32 inter predictions (garbage where intra)
+    Returns (qcoeff [N,25,16] i32, eobs [N,25] i32, recon y/u/v blocks).
+    """
+    from ..ops import transforms as tf
+    D, M = sch["D"], sch["M"]
+    s = _j(sch)
+    store_y0 = jnp.zeros((D, M, 16, 16), jnp.int32)
+    store_u0 = jnp.zeros((D, M, 8, 8), jnp.int32)
+    store_v0 = jnp.zeros((D, M, 8, 8), jnp.int32)
+    store_q0 = jnp.zeros((D, M, 25, 16), jnp.int32)
+    store_e0 = jnp.zeros((D, M, 25), jnp.int32)
+
+    def do_diag(carry, d):
+        sy, su, sv, sq, se = carry
+        r = s["r"][d]
+        c = s["c"][d]
+        n = s["n"][d]
+
+        def lane(m):
+            rr, cc_, nn = r[m], c[m], n[m]
+            up_ok = s["up_ok"][d][m]
+            left_ok = s["left_ok"][d][m]
+            up_blk = sy[d - 2, s["up"][d][m]]
+            left_blk = sy[d - 1, s["left"][d][m]]
+            al_blk = sy[d - 3, s["al"][d][m]]
+            above = jnp.where(up_ok, up_blk[15, :], 127)
+            leftc = jnp.where(left_ok, left_blk[:, 15], 129)
+            tl = jnp.where(rr == 0, 127,
+                           jnp.where(cc_ == 0, 129, al_blk[15, 15]))
+            pred16 = P.pred_nxn(mode[nn], above, leftc, tl,
+                                rr != 0, cc_ != 0, 16)
+            pred_y = jnp.where(intra[nn], pred16, inter_y[nn])
+
+            def chroma_pred(store_c, inter_c):
+                upb = store_c[d - 2, s["up"][d][m]]
+                lb = store_c[d - 1, s["left"][d][m]]
+                alb = store_c[d - 3, s["al"][d][m]]
+                a = jnp.where(up_ok, upb[7, :], 127)
+                l = jnp.where(left_ok, lb[:, 7], 129)
+                t = jnp.where(rr == 0, 127,
+                              jnp.where(cc_ == 0, 129, alb[7, 7]))
+                pd = P.pred_nxn(uv_mode[nn], a, l, t, rr != 0, cc_ != 0, 8)
+                return jnp.where(intra[nn], pd, inter_c[nn])
+
+            pred_u = chroma_pred(su, inter_u)
+            pred_v = chroma_pred(sv, inter_v)
+
+            # ---- forward transform + quant ----
+            resid = src_y_b[nn] - pred_y
+            rblocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3) \
+                .reshape(16, 4, 4)
+            ycoef = tf.fdct4x4_batch(rblocks).reshape(16, 16)
+            y2 = tf.walsh4x4_batch(ycoef[:, 0])
+            dqy1 = dq_y1[nn]
+            dqy2 = dq_y2[nn]
+            dquv = dq_uv[nn]
+            q2, e2 = tf.fast_quant_batch(y2[None], dqy2[None],
+                                         jnp.zeros((1,), bool))
+            qy, ey = tf.fast_quant_batch(ycoef, jnp.tile(dqy1[None], (16, 1)),
+                                         jnp.ones((16,), bool))
+            ey = jnp.maximum(ey, 1)
+            ru = src_u_b[nn] - pred_u
+            rv_ = src_v_b[nn] - pred_v
+            ublocks = ru.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3) \
+                .reshape(4, 4, 4)
+            vblocks = rv_.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3) \
+                .reshape(4, 4, 4)
+            uvcoef = tf.fdct4x4_batch(
+                jnp.concatenate([ublocks, vblocks])).reshape(8, 16)
+            quv, euv = tf.fast_quant_batch(uvcoef,
+                                           jnp.tile(dquv[None], (8, 1)),
+                                           jnp.zeros((8,), bool))
+            qall = jnp.concatenate([qy, quv, q2], axis=0)  # [25,16]
+            eall = jnp.concatenate([ey, euv, e2], axis=0)  # [25]
+
+            # ---- in-loop reconstruction (decoder-exact) ----
+            dqv2 = jnp.concatenate([dqy2[:1], jnp.repeat(dqy2[1:], 15)])
+            wht_in = tf._s16(q2[0] * dqv2)
+            dcs_full = tf.inv_walsh_batch(wht_in.reshape(1, 4, 4))[0]
+            dc1 = tf._s16((tf._s16(q2[0, 0] * dqy2[0]) + 3) >> 3)
+            dcs = jnp.where(e2[0] > 1, dcs_full, dc1)
+            dqvy = jnp.concatenate([jnp.ones(1, jnp.int32),
+                                    jnp.repeat(dqy1[1:], 15)])
+            dqy = tf._s16(qy * dqvy[None, :])
+            dqy = dqy.at[:, 0].set(dcs)
+            resid_rec = tf.idct4x4_batch(dqy.reshape(16, 4, 4))
+            resid_mb = resid_rec.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3) \
+                .reshape(16, 16)
+            yrec = jnp.clip(pred_y + resid_mb, 0, 255)
+            dqvuv = jnp.concatenate([dquv[:1], jnp.repeat(dquv[1:], 15)])
+            dquv_coef = tf._s16(quv * dqvuv[None, :])
+            uvresid = tf.idct4x4_batch(dquv_coef.reshape(8, 4, 4))
+            ur = uvresid[:4].reshape(2, 2, 4, 4).transpose(0, 2, 1, 3) \
+                .reshape(8, 8)
+            vr = uvresid[4:].reshape(2, 2, 4, 4).transpose(0, 2, 1, 3) \
+                .reshape(8, 8)
+            urec = jnp.clip(pred_u + ur, 0, 255)
+            vrec = jnp.clip(pred_v + vr, 0, 255)
+            return yrec, urec, vrec, qall, eall
+
+        yb, ub, vb, qb, eb = jax.vmap(lane)(jnp.arange(M))
+        sy = jax.lax.dynamic_update_slice(sy, yb[None], (d, 0, 0, 0))
+        su = jax.lax.dynamic_update_slice(su, ub[None], (d, 0, 0, 0))
+        sv = jax.lax.dynamic_update_slice(sv, vb[None], (d, 0, 0, 0))
+        sq = jax.lax.dynamic_update_slice(sq, qb[None], (d, 0, 0, 0))
+        se = jax.lax.dynamic_update_slice(se, eb[None], (d, 0, 0))
+        return (sy, su, sv, sq, se)
+
+    def step(carry, d0):
+        for kk in range(KD):
+            carry = do_diag(carry, d0 + kk)
+        return carry, None
+
+    (sy, su, sv, sq, se), _ = jax.lax.scan(
+        step, (store_y0, store_u0, store_v0, store_q0, store_e0),
+        jnp.arange(0, D, KD))
+    mb_d, mb_m = _j(sch)["mb_d"], _j(sch)["mb_m"]
+    return (sq[mb_d, mb_m], se[mb_d, mb_m], sy[mb_d, mb_m],
+            su[mb_d, mb_m], sv[mb_d, mb_m])
+
+
+# ---------------------------------------------------------------------------
 # loop filter scan
 
 def _edge_v(patch, col, mb_edge, apply, blimit, lim, hev, simple):

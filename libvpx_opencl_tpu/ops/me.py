@@ -1,0 +1,148 @@
+"""Device motion estimation: whole-frame batched SAD search.
+
+TPU plan for the reference's mcomp.c diamond/hex/full searches
+(SURVEY.md §2.4 "Motion estimation"): TPUs prefer regular dense compute, so
+every MB runs the same dense window search as one batched array program —
+a step-2 grid over +-16 full-pel, a +-1 full-pel refine, then half- and
+quarter-pel refines through the production MC filter kernel.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import predict as P
+
+RNG = 16  # full-pel search radius
+
+
+def full_search(ref_plane, src_blocks, centers, mb_pos):
+    """Step-2 + refine full-pel search.
+
+    ref_plane [H, W] uint8 padded; src_blocks [N, 16, 16] int32;
+    centers [N, 2] full-pel search centers (dy, dx) relative to the MB
+    position, pre-clamped by the caller; mb_pos [N, 2] padded top-left
+    plane coords of each MB.  Returns (mv_fp [N,2] full-pel offsets
+    relative to MB, sad [N]).
+    """
+    n = src_blocks.shape[0]
+    # gather (2*RNG+16)^2 windows centered on `centers`
+    w = 2 * RNG + 16
+
+    def gather(py, px):
+        return jax.lax.dynamic_slice(ref_plane, (py, px), (w, w))
+
+    wy = mb_pos[:, 0] + centers[:, 0] - RNG
+    wx = mb_pos[:, 1] + centers[:, 1] - RNG
+    win = jax.vmap(gather)(wy, wx).astype(jnp.int32)
+
+    def grid_sads(win, step, lo, hi):
+        cands = list(range(lo, hi + 1, step))
+        rows = []
+        for dy in cands:
+            strip = win[:, dy + RNG:dy + RNG + 16, :]  # [N,16,w]
+            cols = jnp.stack([strip[:, :, dx + RNG:dx + RNG + 16]
+                              for dx in cands], axis=1)  # [N,k,16,16]
+            sad = jnp.sum(jnp.abs(cols - src_blocks[:, None]), axis=(2, 3))
+            rows.append(sad)
+        return jnp.stack(rows, axis=1), cands  # [N,k,k]
+
+    sads, cands = grid_sads(win, 2, -RNG, RNG)
+    k = len(cands)
+    flat = sads.reshape(n, k * k)
+    best = jnp.argmin(flat, axis=1)
+    bdy = jnp.asarray(cands)[best // k]
+    bdx = jnp.asarray(cands)[best % k]
+    # +-1 refine (9 candidates, clamped inside the window)
+    best_sad = jnp.min(flat, axis=1)
+    bmv = jnp.stack([bdy, bdx], axis=1)
+    for ddy in (-1, 0, 1):
+        for ddx in (-1, 0, 1):
+            if ddy == 0 and ddx == 0:
+                continue
+            cy = jnp.clip(bdy + ddy, -RNG, RNG)
+            cx = jnp.clip(bdx + ddx, -RNG, RNG)
+            idx_r = (cy + RNG)[:, None, None] + jnp.arange(16)[None, :, None]
+            idx_c = (cx + RNG)[:, None, None] + jnp.arange(16)[None, None, :]
+            cand = win[jnp.arange(n)[:, None, None], idx_r, idx_c]
+            sad = jnp.sum(jnp.abs(cand - src_blocks), axis=(1, 2))
+            better = sad < best_sad
+            best_sad = jnp.where(better, sad, best_sad)
+            bmv = jnp.where(better[:, None], jnp.stack([cy, cx], 1), bmv)
+    return bmv + centers, best_sad
+
+
+def subpel_refine(ref_plane, src_blocks, mb_pos, mv_fp, best_sad, taps,
+                  bounds):
+    """Half- then quarter-pel refine via the production MC kernel.
+
+    mv_fp [N,2] full-pel; bounds (lo_r, hi_r, lo_c, hi_c) [N] arrays in
+    1/8-pel units. Returns (mv [N,2] eighth-pel with even components, sad)."""
+    n = src_blocks.shape[0]
+    mv = mv_fp * 8
+    lo_r, hi_r, lo_c, hi_c = bounds
+    ref3 = ref_plane[None]
+    zero_ref = jnp.zeros(n, jnp.int32)
+    for sub in (4, 2):
+        offs = [(-sub, 0), (sub, 0), (0, -sub), (0, sub),
+                (-sub, -sub), (-sub, sub), (sub, -sub), (sub, sub)]
+        cand_mvs = []
+        for ddy, ddx in offs:
+            c = mv + jnp.asarray([ddy, ddx])
+            c = jnp.stack([jnp.clip(c[:, 0], lo_r, hi_r),
+                           jnp.clip(c[:, 1], lo_c, hi_c)], 1)
+            cand_mvs.append(c)
+        allc = jnp.concatenate(cand_mvs, axis=0)  # [8N, 2]
+        starts = jnp.stack([jnp.tile(mb_pos[:, 0], 8) + (allc[:, 0] >> 3),
+                            jnp.tile(mb_pos[:, 1], 8) + (allc[:, 1] >> 3)], 1)
+        preds = P.mc_predict_blocks(ref3, jnp.tile(zero_ref, 8), starts,
+                                    allc[:, 1] & 7, allc[:, 0] & 7, taps, 16)
+        sads = jnp.sum(jnp.abs(preds - jnp.tile(src_blocks, (8, 1, 1))),
+                       axis=(1, 2)).reshape(8, n)
+        bi = jnp.argmin(sads, axis=0)
+        bs = jnp.min(sads, axis=0)
+        cmv = jnp.stack(cand_mvs, axis=0)  # [8, N, 2]
+        picked = cmv[bi, jnp.arange(n)]
+        better = bs < best_sad
+        best_sad = jnp.where(better, bs, best_sad)
+        mv = jnp.where(better[:, None], picked, mv)
+    return mv, best_sad
+
+
+def intra_mode_costs(src_plane, src_blocks, mb_pos, n_rows, n_cols, bw):
+    """Batched DC/V/H/TM cost vs SOURCE neighbors (decision approximation;
+    reconstruction later uses true recon neighbors in the wavefront).
+
+    Returns (costs [N, 4], preds not returned). src_plane padded uint8."""
+    n = src_blocks.shape[0]
+
+    def gather(py, px):
+        above = jax.lax.dynamic_slice(src_plane, (py - 1, px - 1),
+                                      (1, bw + 1))[0]
+        left = jax.lax.dynamic_slice(src_plane, (py, px - 1),
+                                     (bw, 1))[:, 0]
+        return above.astype(jnp.int32), left.astype(jnp.int32)
+
+    above_x, left_x = jax.vmap(gather)(mb_pos[:, 0], mb_pos[:, 1])
+    tl = above_x[:, 0]
+    above = above_x[:, 1:]
+    r0 = (jnp.arange(n) // n_cols) == 0
+    c0 = (jnp.arange(n) % n_cols) == 0
+    above = jnp.where(r0[:, None], 127, above)
+    left_x = jnp.where(c0[:, None], 129, left_x)
+    tl = jnp.where(r0 | c0, jnp.where(r0, 127, 129), tl)
+    up_av = (~r0).astype(jnp.int32)
+    lf_av = (~c0).astype(jnp.int32)
+    total = jnp.sum(above, 1) * up_av + jnp.sum(left_x, 1) * lf_av
+    shift = {16: 3, 8: 2}[bw] + up_av + lf_av
+    dc = jnp.where(up_av | lf_av,
+                   (total + jnp.left_shift(1, shift - 1)) >> shift, 128)
+    pred_dc = dc[:, None, None] + jnp.zeros((n, bw, bw), jnp.int32)
+    pred_v = jnp.tile(above[:, None, :], (1, bw, 1))
+    pred_h = jnp.tile(left_x[:, :, None], (1, 1, bw))
+    pred_tm = jnp.clip(left_x[:, :, None] + above[:, None, :]
+                       - tl[:, None, None], 0, 255)
+    costs = jnp.stack(
+        [jnp.sum(jnp.abs(p - src_blocks), axis=(1, 2))
+         for p in (pred_dc, pred_v, pred_h, pred_tm)], axis=1)
+    return costs

@@ -115,6 +115,81 @@ def compute_residuals(qcoeff, y2_big, dq_y1, dq_y2, dq_uv, has_y2):
     return resid_y, resid_uv[:, :4], resid_uv[:, 4:]
 
 
+def fdct4x4_batch(blocks):
+    """vp8_short_fdct4x4_c (dct.c:14-56) over [..., 4, 4] int32 residuals;
+    returns [..., 4, 4] coefficients. Row pass then column pass."""
+    x = blocks
+    a1 = (x[..., :, 0] + x[..., :, 3]) << 3
+    b1 = (x[..., :, 1] + x[..., :, 2]) << 3
+    c1 = (x[..., :, 1] - x[..., :, 2]) << 3
+    d1 = (x[..., :, 0] - x[..., :, 3]) << 3
+    t0 = a1 + b1
+    t2 = a1 - b1
+    t1 = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+    t3 = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+    tmp = jnp.stack([t0, t1, t2, t3], axis=-1)
+    a1 = tmp[..., 0, :] + tmp[..., 3, :]
+    b1 = tmp[..., 1, :] + tmp[..., 2, :]
+    c1 = tmp[..., 1, :] - tmp[..., 2, :]
+    d1 = tmp[..., 0, :] - tmp[..., 3, :]
+    o0 = (a1 + b1 + 7) >> 4
+    o2 = (a1 - b1 + 7) >> 4
+    o1 = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (d1 != 0)
+    o3 = (d1 * 2217 - c1 * 5352 + 51000) >> 16
+    return jnp.stack([o0, o1, o2, o3], axis=-2)
+
+
+def walsh4x4_batch(dcs):
+    """vp8_short_walsh4x4_c (dct.c:64-116) over [..., 16] Y-block DCs
+    (raster); returns [..., 16] Y2 coefficients."""
+    x = dcs.reshape(*dcs.shape[:-1], 4, 4)
+    a1 = (x[..., :, 0] + x[..., :, 2]) << 2
+    d1 = (x[..., :, 1] + x[..., :, 3]) << 2
+    c1 = (x[..., :, 1] - x[..., :, 3]) << 2
+    b1 = (x[..., :, 0] - x[..., :, 2]) << 2
+    tmp = jnp.stack([a1 + d1 + (a1 != 0), b1 + c1, b1 - c1, a1 - d1],
+                    axis=-1)
+    a1 = tmp[..., 0, :] + tmp[..., 2, :]
+    d1 = tmp[..., 1, :] + tmp[..., 3, :]
+    c1 = tmp[..., 1, :] - tmp[..., 3, :]
+    b1 = tmp[..., 0, :] - tmp[..., 2, :]
+    a2 = a1 + d1
+    b2 = b1 + c1
+    c2 = b1 - c1
+    d2 = a1 - d1
+    out = jnp.stack([(a2 + (a2 < 0) + 3) >> 3, (b2 + (b2 < 0) + 3) >> 3,
+                     (c2 + (c2 < 0) + 3) >> 3, (d2 + (d2 < 0) + 3) >> 3],
+                    axis=-2)
+    return out.reshape(*dcs.shape[:-1], 16)
+
+
+def fast_quant_batch(coeffs, dq, first0):
+    """vp8_fast_quantize_b_c (quantize.c:70-100) over [..., 16] raster
+    coefficients. dq [..., 2] (dc, ac); first0 [...] bool (True = quantize
+    from zig-zag position 1, the Y-with-Y2 case). Returns (levels[...,16],
+    eob[...]) with levels clamped to the cat6 token range."""
+    import numpy as _np
+    from . import tables as _T
+    zz = _np.asarray(_T.ZIGZAG)
+    q16 = (1 << 16) // dq
+    rnd = (48 * dq) >> 7
+    pos_is_ac = jnp.asarray((_np.arange(16) != 0).astype(_np.int32))
+    qv = jnp.where(pos_is_ac, q16[..., 1:2], q16[..., 0:1])
+    rv = jnp.where(pos_is_ac, rnd[..., 1:2], rnd[..., 0:1])
+    sign = coeffs < 0
+    x = jnp.abs(coeffs)
+    y = ((x + rv) * qv) >> 16
+    y = jnp.minimum(y, 2047)
+    # suppress the DC position when first0
+    y = y.at[..., 0].set(jnp.where(first0, 0, y[..., 0]))
+    levels = jnp.where(sign, -y, y)
+    # eob: 1 + max zig-zag scan index with nonzero level
+    zz_levels = levels[..., zz]  # [..., 16] in scan order
+    idx = jnp.arange(1, 17)
+    eob = jnp.max(jnp.where(zz_levels != 0, idx, 0), axis=-1)
+    return levels, eob
+
+
 def mbs_to_plane(blocks, R, C, bw):
     """[R*C, bw, bw] per-MB blocks -> [R*bw, C*bw] plane."""
     return blocks.reshape(R, C, bw, bw).transpose(0, 2, 1, 3) \

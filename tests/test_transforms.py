@@ -48,3 +48,30 @@ def test_dc_only_equals_full_idct():
         refdec.dc_only_idct_add(np.int16(dc), dst, 0, 0)
         want = np.clip(a1, 0, 255)
         assert (np.clip(full, 0, 255) == want).all(), dc
+
+
+def test_fdct_walsh_quant_batch_match_golden():
+    from libvpx_opencl_tpu.models import encoder as enc
+    import jax.numpy as jnp
+    rng = np.random.RandomState(3)
+    blocks = rng.randint(-255, 256, size=(64, 4, 4)).astype(np.int32)
+    got = np.asarray(tf.fdct4x4_batch(jnp.asarray(blocks)))
+    for i in range(64):
+        want = enc.fdct4x4(blocks[i]).reshape(4, 4)
+        assert (got[i] == want).all(), i
+    dcs = rng.randint(-2048, 2048, size=(32, 16)).astype(np.int32)
+    gotw = np.asarray(tf.walsh4x4_batch(jnp.asarray(dcs)))
+    for i in range(32):
+        want = enc.walsh4x4(dcs[i])
+        assert (gotw[i] == want).all(), i
+    coeffs = rng.randint(-3000, 3000, size=(48, 16)).astype(np.int32)
+    dq = np.tile(np.array([[8, 17]], np.int32), (48, 1))
+    first0 = (np.arange(48) % 2 == 0)
+    lv, eob = tf.fast_quant_batch(jnp.asarray(coeffs), jnp.asarray(dq),
+                                  jnp.asarray(first0))
+    lv, eob = np.asarray(lv), np.asarray(eob)
+    for i in range(48):
+        want_lv, want_eob = enc.fast_quant(coeffs[i], (8, 17),
+                                           first=1 if first0[i] else 0)
+        assert (lv[i] == want_lv).all(), i
+        assert eob[i] == want_eob, (i, eob[i], want_eob)
