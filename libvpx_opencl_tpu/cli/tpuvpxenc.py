@@ -28,7 +28,11 @@ def main(argv=None):
     p.add_argument("--kf-min-dist", type=int, default=0)
     p.add_argument("--token-parts", type=int, default=0, choices=[0, 1, 2, 3])
     p.add_argument("--limit", type=int, default=0)
-    p.add_argument("--passes", type=int, default=1)
+    p.add_argument("--passes", type=int, default=1, choices=[1, 2])
+    p.add_argument("--fpf", default=None,
+                   help="first-pass stats file (two-pass)")
+    p.add_argument("--auto-alt-ref", type=int, default=0)
+    p.add_argument("--golden-interval", type=int, default=0)
     p.add_argument("--cpu-used", type=int, default=0)
     p.add_argument("--psnr", action="store_true")
     args = p.parse_args(argv)
@@ -41,10 +45,19 @@ def main(argv=None):
 
     rd = Y4MReader(args.input)
     enc = Encoder(rd.w, rd.h, qindex=args.cq_level,
-                  token_parts=args.token_parts)
+                  token_parts=args.token_parts,
+                  golden_interval=args.golden_interval)
     mb_count = ((rd.h + 15) // 16) * ((rd.w + 15) // 16)
     rc = None
-    if args.end_usage in ("vbr", "cbr"):
+    if args.passes == 2:
+        from ..models import twopass
+        stats = twopass.first_pass(Y4MReader(args.input))
+        if args.fpf:
+            twopass.save_stats(args.fpf, stats)
+        rc = twopass.TwoPassController(
+            stats, args.target_bitrate, rd.fps[0] / max(1, rd.fps[1]),
+            mb_count, min_q=args.min_q, max_q=args.max_q)
+    elif args.end_usage in ("vbr", "cbr"):
         rc = RateController(args.target_bitrate,
                             rd.fps[0] / max(1, rd.fps[1]), mb_count,
                             min_q=args.min_q, max_q=args.max_q)

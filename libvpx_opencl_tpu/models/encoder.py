@@ -129,12 +129,13 @@ class Encoder:
     """VP8 encoder producing IVF-compatible frame payloads."""
 
     def __init__(self, width, height, qindex=24, filter_level=None,
-                 token_parts=0, mb_no_coeff_skip=True):
+                 token_parts=0, mb_no_coeff_skip=True, golden_interval=0):
         self.w, self.h = width, height
         self.qindex = qindex
         self.fixed_filter = filter_level
         self.token_parts = token_parts  # log2 of partition count (0..3)
         self.mb_no_coeff_skip = mb_no_coeff_skip
+        self.golden_interval = golden_interval  # refresh golden every N (0=off)
         self.R = (height + 15) >> 4
         self.C = (width + 15) >> 4
         self.dec = _mk_dec()
@@ -189,10 +190,17 @@ class Encoder:
         self.qcoeff = np.zeros((R, C, 25, 16), np.int32)
         self.eobs = np.zeros((R, C, 25), np.int32)
 
-        ref = None if keyframe else self.dec.last
+        self.refresh_golden = bool(
+            self.golden_interval and
+            self.frame_count % self.golden_interval == 0)
+        refs = None
+        if not keyframe:
+            refs = [(self.dec.last, LAST_FRAME)]
+            if self.golden_interval and self.dec.golden is not self.dec.last:
+                refs.append((self.dec.golden, GOLDEN_FRAME))
         for r in range(R):
             for c in range(C):
-                self._encode_mb(r, c, keyframe, ref)
+                self._encode_mb(r, c, keyframe, refs)
 
         # per-MB skip decision (decode_macroblock's eobtotal==0 semantics)
         self.skip = np.zeros((R, C), np.int32)
@@ -216,7 +224,7 @@ class Encoder:
         return payload
 
     # ------------------------------------------------------------------
-    def _encode_mb(self, r, c, keyframe, ref):
+    def _encode_mb(self, r, c, keyframe, refs):
         R, C = self.R, self.C
         b, b2 = BORDER, BORDER // 2
         y0, x0 = b + r * 16, b + c * 16
@@ -240,16 +248,24 @@ class Encoder:
 
         mode, mv, pred_y = best_mode, (0, 0), best_pred
         is_inter = False
+        ref_used = LAST_FRAME
+        ref = self.dec.last if not keyframe else None
         if not keyframe:
-            imode, imv, icost, ipred = self._inter_search(r, c, ref, src_y)
-            # prefer inter when clearly better (flat lambda bias)
-            if icost + 300 < best_cost:
-                mode, mv, pred_y = imode, imv, ipred
+            best_ic = None
+            for ref_fb, ref_id in refs:
+                penalty = 0 if ref_id == LAST_FRAME else 200
+                imode, imv, icost, ipred = self._inter_search(r, c, ref_fb,
+                                                              src_y)
+                if best_ic is None or icost + penalty < best_ic[0]:
+                    best_ic = (icost + penalty, imode, imv, ipred, ref_fb,
+                               ref_id)
+            if best_ic[0] + 300 < best_cost:
+                _, mode, mv, pred_y, ref, ref_used = best_ic
                 is_inter = True
 
         pr, pc = r + 1, c + 1
         self.mode[pr, pc] = mode
-        self.reff[pr, pc] = LAST_FRAME if is_inter else INTRA_FRAME
+        self.reff[pr, pc] = ref_used if is_inter else INTRA_FRAME
         self.mv[pr, pc] = mv
 
         # chroma prediction
@@ -493,9 +509,11 @@ class Encoder:
         for _ in range(5):
             first.write_bit(0)  # q deltas absent
         if not keyframe:
-            first.write_bit(0)  # refresh_golden
-            first.write_bit(0)  # refresh_alt
-            first.write_literal(0, 2)  # copy to gf
+            rg = 1 if getattr(self, "refresh_golden", False) else 0
+            first.write_bit(rg)  # refresh_golden
+            first.write_bit(0)   # refresh_alt
+            if not rg:
+                first.write_literal(0, 2)  # copy to gf
             first.write_literal(0, 2)  # copy to arf
             first.write_bit(0)  # sign bias gf
             first.write_bit(0)  # sign bias arf
@@ -518,9 +536,12 @@ class Encoder:
         if not keyframe:
             n_intra = int((self.reff[1:, 1:] == INTRA_FRAME).sum())
             n = R * C
-            self.prob_intra = min(254, max(1, 255 * (n - n_intra) // n))
-            self.prob_last = 255
-            self.prob_gf = 128
+            n_inter = n - n_intra
+            n_last = int((self.reff[1:, 1:] == LAST_FRAME).sum())
+            self.prob_intra = min(254, max(1, 255 * n_inter // n))
+            self.prob_last = min(254, max(1, 255 * n_last //
+                                          max(1, n_inter)))
+            self.prob_gf = 254  # golden vs altref: we only use golden
             first.write_literal(self.prob_intra, 8)
             first.write_literal(self.prob_last, 8)
             first.write_literal(self.prob_gf, 8)
@@ -580,7 +601,12 @@ class Encoder:
             e.write_tree(T.UV_MODE_TREE.tolist(), T.UV_MODE_PROB.tolist(),
                          int(self.uvmode[r, c]))
             return
-        e.write(0, self.prob_last)  # LAST_FRAME
+        ref_used = int(self.reff[pr, pc])
+        if ref_used == LAST_FRAME:
+            e.write(0, self.prob_last)
+        else:
+            e.write(1, self.prob_last)
+            e.write(0 if ref_used == GOLDEN_FRAME else 1, self.prob_gf)
         near, nearest, best, probs, cnt = self._find_near(r, c)
         mv = (int(self.mv[pr, pc, 0]), int(self.mv[pr, pc, 1]))
         # mv_ref tree (decodemv.c:407-530 decision structure)
