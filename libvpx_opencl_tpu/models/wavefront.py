@@ -158,35 +158,7 @@ def intra_recon_blocks(R, C, sch, inter_y, inter_u, inter_v,
             pred16 = P.pred_nxn(mode[nn], above, leftc, tl,
                                 rr != 0, cc_ != 0, 16)
             rec16 = jnp.clip(pred16 + rblk, 0, 255)
-            # B_PRED workspace [17,21]
-            ws = jnp.zeros((17, 21), jnp.int32)
-            ws = ws.at[0, 0].set(tl)
-            ws = ws.at[0, 1:17].set(above)
-            ws = ws.at[0, 17:21].set(arpx)
-            ws = ws.at[1:17, 0].set(leftc)
-            ws = ws.at[4, 17:21].set(arpx)
-            ws = ws.at[8, 17:21].set(arpx)
-            ws = ws.at[12, 17:21].set(arpx)
-
-            def bstep(k, ws):
-                ir = k >> 2
-                ic = k & 3
-                above8 = jax.lax.dynamic_slice(ws, (4 * ir, 1 + 4 * ic),
-                                               (1, 8))[0]
-                left4 = jax.lax.dynamic_slice(ws, (1 + 4 * ir, 4 * ic),
-                                              (4, 1))[:, 0]
-                tl4 = jax.lax.dynamic_slice(ws, (4 * ir, 4 * ic),
-                                            (1, 1))[0, 0]
-                blk = P.bpred_4x4(bmodes[nn, k], above8, left4, tl4)
-                rsub = jax.lax.dynamic_slice(rblk, (4 * ir, 4 * ic), (4, 4))
-                blk = jnp.clip(blk + rsub, 0, 255)
-                return jax.lax.dynamic_update_slice(ws, blk,
-                                                    (1 + 4 * ir, 1 + 4 * ic))
-
-            wsf = jax.lax.fori_loop(0, 16, bstep, ws)
-            recB = wsf[1:17, 1:17]
-            yblk = jnp.where(mode[nn] == B_PRED_M, recB, rec16)
-            yblk = jnp.where(intra[nn], yblk, inter_y[nn])
+            yblk = jnp.where(intra[nn], rec16, inter_y[nn])
 
             def chroma(store_c, inter_c, resid_c):
                 upb = store_c[d - 2, s["up"][d][m]]
@@ -202,9 +174,51 @@ def intra_recon_blocks(R, C, sch, inter_y, inter_u, inter_v,
 
             ublk = chroma(su, inter_u, resid_u_b)
             vblk = chroma(sv, inter_v, resid_v_b)
-            return yblk, ublk, vblk
+            return yblk, ublk, vblk, above, leftc, tl, arpx, rblk, nn
 
-        yb, ub, vb = jax.vmap(lane)(jnp.arange(M))
+        yb, ub, vb, l_above, l_left, l_tl, l_arpx, l_rblk, l_nn = \
+            jax.vmap(lane)(jnp.arange(M))
+
+        # B_PRED lanes: the per-MB 16-step sub-block recursion is the most
+        # serial piece of the whole decoder; run it only on diagonals that
+        # actually contain a B_PRED macroblock (runtime lax.cond).
+        def run_bpred(yb):
+            def bl(yblk, above, leftc, tl, arpx, rblk, nn):
+                ws = jnp.zeros((17, 21), jnp.int32)
+                ws = ws.at[0, 0].set(tl)
+                ws = ws.at[0, 1:17].set(above)
+                ws = ws.at[0, 17:21].set(arpx)
+                ws = ws.at[1:17, 0].set(leftc)
+                ws = ws.at[4, 17:21].set(arpx)
+                ws = ws.at[8, 17:21].set(arpx)
+                ws = ws.at[12, 17:21].set(arpx)
+
+                def bstep(k, ws):
+                    ir = k >> 2
+                    ic = k & 3
+                    above8 = jax.lax.dynamic_slice(ws, (4 * ir, 1 + 4 * ic),
+                                                   (1, 8))[0]
+                    left4 = jax.lax.dynamic_slice(ws, (1 + 4 * ir, 4 * ic),
+                                                  (4, 1))[:, 0]
+                    tl4 = jax.lax.dynamic_slice(ws, (4 * ir, 4 * ic),
+                                                (1, 1))[0, 0]
+                    blk = P.bpred_4x4(bmodes[nn, k], above8, left4, tl4)
+                    rsub = jax.lax.dynamic_slice(rblk, (4 * ir, 4 * ic),
+                                                 (4, 4))
+                    blk = jnp.clip(blk + rsub, 0, 255)
+                    return jax.lax.dynamic_update_slice(
+                        ws, blk, (1 + 4 * ir, 1 + 4 * ic))
+
+                wsf = jax.lax.fori_loop(0, 16, bstep, ws)
+                recB = wsf[1:17, 1:17]
+                return jnp.where((mode[nn] == B_PRED_M) & intra[nn],
+                                 recB, yblk)
+            return jax.vmap(bl)(yb, l_above, l_left, l_tl, l_arpx, l_rblk,
+                                l_nn)
+
+        any_bpred = jnp.any((mode[n] == B_PRED_M) & intra[n] &
+                            s["valid"][d])
+        yb = jax.lax.cond(any_bpred, run_bpred, lambda y: y, yb)
         sy = jax.lax.dynamic_update_slice(sy, yb[None], (d, 0, 0, 0))
         su = jax.lax.dynamic_update_slice(su, ub[None], (d, 0, 0, 0))
         sv = jax.lax.dynamic_update_slice(sv, vb[None], (d, 0, 0, 0))
