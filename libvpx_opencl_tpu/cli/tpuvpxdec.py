@@ -64,6 +64,7 @@ def main(argv=None):
 
     from ..utils.ivf import read_ivf
     from ..utils.md5 import frame_md5
+    from ..utils.webm import read_webm
     if args.golden:
         from ..models.refdec import RefDecoder
         dec = type("D", (RefDecoder,), {"use_native": True})()
@@ -71,7 +72,14 @@ def main(argv=None):
         from ..models.tpu_decoder import TPUDecoder
         dec = TPUDecoder()
 
-    stream = read_ivf(args.input)
+    with open(args.input, "rb") as fprobe:
+        magic = fprobe.read(4)
+    if magic == b"\x1aE\xdf\xa3":  # EBML: WebM input (nestegg role)
+        ws = read_webm(args.input)
+        stream = type("S", (), {"frames": [(p_, tc) for p_, tc, _k
+                                           in ws.frames]})()
+    else:
+        stream = read_ivf(args.input)
     t0 = time.time()
     n = 0
     single_out = None

@@ -83,7 +83,16 @@ def main(argv=None):
                          f"{sum(len(f[0]) for f in stream.frames)}B")
         if args.limit and n >= args.limit:
             break
-    write_ivf(args.output, stream)
+    if args.output.endswith(".webm"):
+        from ..utils.webm import WebMStream, write_webm
+        ws = WebMStream(width=rd.w, height=rd.h)
+        fps = rd.fps[0] / max(1, rd.fps[1])
+        for idx, (payload, pts) in enumerate(stream.frames):
+            key = not (payload[0] & 1)
+            ws.frames.append((payload, int(idx * 1000 / fps), key))
+        write_webm(args.output, ws)
+    else:
+        write_ivf(args.output, stream)
     dt = time.time() - t0
     total = sum(len(f[0]) for f in stream.frames)
     fps = rd.fps[0] / max(1, rd.fps[1])
