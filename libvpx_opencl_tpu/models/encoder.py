@@ -148,10 +148,15 @@ class Encoder:
         return min(63, max(1, self.qindex // 4 + 2))
 
     # ------------------------------------------------------------------
-    def encode_frame(self, y, u, v, keyframe=None):
-        """Encode one I420 frame (uint8 planes). Returns the VP8 payload."""
+    def encode_frame(self, y, u, v, keyframe=None, refresh_last=True,
+                     refresh_golden=None):
+        """Encode one I420 frame (uint8 planes). Returns the VP8 payload.
+        refresh_last/refresh_golden control reference updates (temporal
+        scalability patterns encode enhancement layers with no refreshes —
+        vp8_scalable_patterns.c role)."""
         if keyframe is None:
             keyframe = self.frame_count == 0
+        self.refresh_last_flag = bool(refresh_last) or keyframe
         R, C = self.R, self.C
         b = BORDER
         b2 = BORDER // 2
@@ -190,9 +195,11 @@ class Encoder:
         self.qcoeff = np.zeros((R, C, 25, 16), np.int32)
         self.eobs = np.zeros((R, C, 25), np.int32)
 
-        self.refresh_golden = bool(
-            self.golden_interval and
-            self.frame_count % self.golden_interval == 0)
+        if refresh_golden is None:
+            refresh_golden = bool(
+                self.golden_interval and
+                self.frame_count % self.golden_interval == 0)
+        self.refresh_golden = bool(refresh_golden)
         refs = None
         if not keyframe:
             refs = [(self.dec.last, LAST_FRAME)]
@@ -519,7 +526,8 @@ class Encoder:
             first.write_bit(0)  # sign bias arf
         first.write_bit(0)      # refresh_entropy_probs
         if not keyframe:
-            first.write_bit(1)  # refresh_last
+            first.write_bit(1 if getattr(self, "refresh_last_flag", True)
+                            else 0)
         up = T.COEF_UPDATE_PROBS
         for i in range(4):
             for j in range(8):
