@@ -528,12 +528,36 @@ class Encoder:
         if not keyframe:
             first.write_bit(1 if getattr(self, "refresh_last_flag", True)
                             else 0)
+        # per-frame coefficient probability updates (bitstream.c:1202-1310):
+        # count token branch usage with a dry packing pass, then send updates
+        # wherever the bit savings beat the signaling cost
+        self.coef_probs = np.array(T.DEFAULT_COEF_PROBS, np.int32)
+        counts = np.zeros((4, 8, 3, 11, 2), np.int64)
+        self._count_tokens(counts)
         up = T.COEF_UPDATE_PROBS
+        bitcost = _prob_bitcost()
         for i in range(4):
             for j in range(8):
                 for k in range(3):
                     for l in range(11):
-                        first.write(0, int(up[i, j, k, l]))
+                        c0, c1 = counts[i, j, k, l]
+                        oldp = int(self.coef_probs[i, j, k, l])
+                        upd = 0
+                        newp = oldp
+                        if c0 + c1 > 0:
+                            cand = min(255, max(1,
+                                                int(255 * c0 // (c0 + c1))))
+                            old_b = c0 * bitcost[0][oldp] +                                 c1 * bitcost[1][oldp]
+                            new_b = c0 * bitcost[0][cand] +                                 c1 * bitcost[1][cand] + 8 * 256
+                            fp = int(up[i, j, k, l])
+                            flag_diff = bitcost[1][fp] - bitcost[0][fp]
+                            if new_b + flag_diff < old_b and cand != oldp:
+                                upd = 1
+                                newp = cand
+                        first.write(upd, int(up[i, j, k, l]))
+                        if upd:
+                            first.write_literal(newp, 8)
+                            self.coef_probs[i, j, k, l] = newp
         first.write_bit(1 if self.mb_no_coeff_skip else 0)
         # mode/mv section (mb_mode_mv_init duals)
         if self.mb_no_coeff_skip:
@@ -669,7 +693,7 @@ class Encoder:
                 actx[8] = 0
                 lctx[8] = 0
             return
-        cp = self.dec.fc.coef_probs  # default tables (no updates sent)
+        cp = self.coef_probs
         order = ([24] + list(range(16)) + list(range(16, 24))) if has_y2 \
             else (list(range(16)) + list(range(16, 24)))
         for i in order:
@@ -685,6 +709,90 @@ class Encoder:
             nonzero = self._pack_block_tokens(e, q, eob, start, ctx,
                                               cp[btype])
             actx[ia] = lctx[il] = 1 if nonzero else 0
+
+    def _count_tokens(self, counts):
+        """Dry token walk accumulating per-node branch counts (the role of
+        the ENTROPY_STATS gathering feeding vp8_update_coef_probs)."""
+        R, C = self.R, self.C
+        above_ctx = np.zeros((C, 9), np.int32)
+        for r in range(R):
+            left_ctx = np.zeros(9, np.int32)
+            for c in range(C):
+                pr, pc = r + 1, c + 1
+                mode = int(self.mode[pr, pc])
+                has_y2 = mode not in (B_PRED, SPLITMV)
+                if self.mb_no_coeff_skip and self.skip[r, c]:
+                    above_ctx[c, :8] = 0
+                    left_ctx[:8] = 0
+                    if has_y2:
+                        above_ctx[c, 8] = 0
+                        left_ctx[8] = 0
+                    continue
+                order = ([24] + list(range(16)) + list(range(16, 24)))                     if has_y2 else (list(range(16)) + list(range(16, 24)))
+                for i in order:
+                    if has_y2:
+                        btype = 1 if i == 24 else (0 if i < 16 else 2)
+                    else:
+                        btype = 3 if i < 16 else 2
+                    start = 1 if (has_y2 and i < 16) else 0
+                    ia, il = BLOCK2ABOVE[i], BLOCK2LEFT[i]
+                    ctx = int(above_ctx[c, ia] + left_ctx[il])
+                    nz = self._walk_block(self.qcoeff[r, c, i],
+                                          int(self.eobs[r, c, i]), start,
+                                          ctx, counts[btype])
+                    above_ctx[c, ia] = left_ctx[il] = 1 if nz else 0
+
+    @staticmethod
+    def _walk_block(q, eob, start, ctx, cnt):
+        cpos = start
+        prev_zero = False
+        nonzero = False
+        while cpos < 16:
+            band = COEF_BANDS[cpos]
+            if cpos >= eob:
+                if not prev_zero:
+                    cnt[band, ctx, 0, 0] += 1  # EOB
+                break
+            v = int(q[ZIGZAG[cpos]])
+            if not prev_zero:
+                cnt[band, ctx, 0, 1] += 1
+            if v == 0:
+                cnt[band, ctx, 1, 0] += 1
+                ctx = 0
+                prev_zero = True
+                cpos += 1
+                continue
+            cnt[band, ctx, 1, 1] += 1
+            nonzero = True
+            prev_zero = False
+            av = abs(v)
+            if av == 1:
+                cnt[band, ctx, 2, 0] += 1
+                ctx = 1
+            else:
+                cnt[band, ctx, 2, 1] += 1
+                if av <= 4:
+                    cnt[band, ctx, 3, 0] += 1
+                    cnt[band, ctx, 4, 0 if av == 2 else 1] += 1
+                    if av > 2:
+                        cnt[band, ctx, 5, av - 3] += 1
+                elif av <= 10:
+                    cnt[band, ctx, 3, 1] += 1
+                    cnt[band, ctx, 6, 0] += 1
+                    cnt[band, ctx, 7, 0 if av <= 6 else 1] += 1
+                elif av <= 34:
+                    cnt[band, ctx, 3, 1] += 1
+                    cnt[band, ctx, 6, 1] += 1
+                    cnt[band, ctx, 8, 0] += 1
+                    cnt[band, ctx, 9, 0 if av <= 18 else 1] += 1
+                else:
+                    cnt[band, ctx, 3, 1] += 1
+                    cnt[band, ctx, 6, 1] += 1
+                    cnt[band, ctx, 8, 1] += 1
+                    cnt[band, ctx, 10, 0 if av <= 66 else 1] += 1
+                ctx = 2
+            cpos += 1
+        return nonzero
 
     def _pack_block_tokens(self, e, q, eob, start, ctx, probs):
         cpos = start
@@ -763,6 +871,21 @@ class Encoder:
         nb = len(probs)
         for i, p in enumerate(probs):
             e.write((extra >> (nb - 1 - i)) & 1, int(p))
+
+
+import math
+
+
+def _prob_bitcost():
+    """cost (in 1/256 bits) of a 0/1 decision at probability p (the
+    vp8_prob_cost role, boolhuff.c:23-40)."""
+    c0 = [0] * 256
+    c1 = [0] * 256
+    for p in range(1, 256):
+        c0[p] = int(round(-math.log2(p / 256.0) * 256))
+        c1[p] = int(round(-math.log2((256 - p) / 256.0) * 256))
+    c0[0] = c1[0] = 1 << 20
+    return c0, c1
 
 
 def _uv_mv(mv):
