@@ -42,12 +42,14 @@ class CodecDecoder:
 
     def __init__(self, flags=(), threads=1, use_tpu=True):
         self.flags = set(flags)
+        ec = USE_ERROR_CONCEALMENT in set(flags)
         if use_tpu:
             from .models.tpu_decoder import TPUDecoder
-            self._dec = TPUDecoder()
+            self._dec = type("D", (TPUDecoder,), {"ec_enabled": ec})()
         else:
             from .models.refdec import RefDecoder
-            self._dec = type("D", (RefDecoder,), {"use_native": True})()
+            self._dec = type("D", (RefDecoder,),
+                             {"use_native": True, "ec_enabled": ec})()
         self._pp = PostProcCfg()
         self._frames = []
         self._corrupted = False
@@ -68,8 +70,8 @@ class CodecDecoder:
             return
         try:
             show = self._dec.decode_frame_core(data)
-            self._corrupted = False
-        except Exception as e:  # corrupt stream
+            self._corrupted = bool(getattr(self._dec, "corrupted", False))
+        except Exception as e:  # corrupt stream (EC disabled)
             self._corrupted = True
             raise CodecError(str(e)) from e
         if show:

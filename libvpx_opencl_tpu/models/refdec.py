@@ -415,6 +415,10 @@ class RefDecoder:
     #: (mode/MV + token decode) runs in the native C++ runtime
     #: (native/vp8_entropy.cpp); the pure-Python layer is the golden model.
     use_native = False
+    #: error-concealment mode (VPX_CODEC_USE_ERROR_CONCEALMENT,
+    #: error_concealment.c role): corrupt/truncated frames are concealed
+    #: from the LAST reference instead of raising
+    ec_enabled = False
 
     def __init__(self):
         self.w = self.h = 0
@@ -445,6 +449,25 @@ class RefDecoder:
         """Decode without materializing pixels to the host (the TPU path
         leaves the frame device-resident; read via self.frame_to_show).
         Returns the show_frame flag."""
+        self.corrupted = False
+        if self.ec_enabled and self.decoded_key_frame:
+            try:
+                return self._decode_frame_core(data)
+            except Exception:
+                return self.conceal_missing_frame()
+        return self._decode_frame_core(data)
+
+    def conceal_missing_frame(self) -> int:
+        """Conceal a missing/corrupt frame from the LAST reference
+        (the decode_with_drops / onyxd_if.c:375-407 semantics: the frame
+        is replaced and the reference is flagged corrupt)."""
+        if self.last is None:
+            raise ValueError("no reference to conceal from")
+        self.frame_to_show = self.last
+        self.corrupted = True
+        return 1
+
+    def _decode_frame_core(self, data: bytes) -> int:
         h = {}
         tag = data[0] | (data[1] << 8) | (data[2] << 16)
         frame_type = tag & 1
@@ -487,12 +510,23 @@ class RefDecoder:
         parts = []
         part_bytes = []
         off = 3 * (nparts - 1)
+        if len(part_data) < off or part0_size > len(data) - pos:
+            # truncated packet (read_available_partition_size's
+            # "Truncated partition size data" case)
+            self.corrupted = True
+            if self.ec_enabled:
+                raise ValueError("truncated packet")
         for i in range(nparts):
             if i < nparts - 1:
                 sz = part_data[i * 3] | (part_data[i * 3 + 1] << 8) | \
                      (part_data[i * 3 + 2] << 16)
             else:
                 sz = len(part_data) - off
+            if sz < 0 or off + sz > len(part_data):
+                self.corrupted = True
+                if self.ec_enabled:
+                    raise ValueError("truncated partition")
+                sz = max(0, len(part_data) - off)
             part_bytes.append(bytes(part_data[off:off + sz]))
             parts.append(BoolDecoder(part_bytes[-1]))
             off += sz
@@ -529,7 +563,15 @@ class RefDecoder:
         self.mb_no_coeff_skip = bc.read_bit()
 
         self._decode_modes(bc)
+        if bc.error():
+            # read past the end of partition 0 (vp8dx_bool_error,
+            # corruption tracking decodframe.c:1139-1143)
+            self.corrupted = True
+            if self.ec_enabled:
+                raise ValueError("corrupt partition 0")
         self._reconstruct()
+        if any(p.error() for p in self.bool_parts):
+            self.corrupted = True
         self._swap_and_filter()
         self.decoded_key_frame = True
         return show_frame
