@@ -345,10 +345,12 @@ class TPUDecoder(RefDecoder):
         ns = len(split_mbs)
 
         def bucket(n):
-            b = 16
-            while b < n:
-                b *= 2
-            return b
+            # coarse buckets keep the compiled-variant count at <=3 per
+            # geometry (each new shape costs a full XLA compile)
+            for b in (2048, max(4096, N), 16 * N):
+                if n <= b:
+                    return b
+            return 16 * N
 
         if ns:
             S = bucket(ns * 16)

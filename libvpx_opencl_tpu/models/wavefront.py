@@ -31,7 +31,7 @@ from ..ops import loopfilter as lfops
 from ..ops import predict as P
 
 SENT = 0  # sentinel lane; validity carried by masks
-KD = 8    # diagonals processed per scan step (amortizes per-step overhead)
+KD = 16   # diagonals processed per scan step (amortizes per-step overhead)
 
 
 @functools.lru_cache(maxsize=16)
