@@ -11,7 +11,8 @@ from libvpx_opencl_tpu.models.refdec import decode_ivf
 from libvpx_opencl_tpu.utils.md5 import frame_md5, load_golden_md5s
 
 STREAMS = ["kf_qcif", "kf_cif", "inter_qcif", "inter_cif", "part4_cif",
-           "odd_65x49", "lowrate_qcif"]
+           "odd_65x49", "lowrate_qcif", "profile1_qcif", "profile2_qcif",
+           "profile3_qcif"]
 
 
 @pytest.mark.parametrize("name", STREAMS)
