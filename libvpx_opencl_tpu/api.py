@@ -217,3 +217,16 @@ class CodecEncoder:
 
     def set_token_partitions(self, log2n):
         self._enc.token_parts = log2n
+
+    def set_roimap(self, seg_map, q_deltas, lf_deltas=(0, 0, 0, 0)):
+        """VP8E_SET_ROI_MAP (vp8cx.h, vp8_set_roimap onyx_if.c:5112)."""
+        self._enc.set_roimap(seg_map, q_deltas, lf_deltas)
+
+    def set_active_map(self, active_map):
+        """VP8E_SET_ACTIVEMAP (vp8_set_active_map onyx_if.c:5155):
+        inactive MBs are forced to segment 3 with a strong q delta (the
+        static-region treatment)."""
+        import numpy as np
+        m = np.asarray(active_map, bool)
+        seg = np.where(m, 0, 3).astype(np.int32)
+        self._enc.set_roimap(seg, q_deltas=(0, 0, 0, 40))

@@ -140,6 +140,23 @@ class Encoder:
         self.C = (width + 15) >> 4
         self.dec = _mk_dec()
         self.frame_count = 0
+        self.seg_map_enc = None       # [R, C] segment ids (0..3)
+        self.seg_q_deltas = [0, 0, 0, 0]
+        self.seg_lf_deltas = [0, 0, 0, 0]
+
+    def set_roimap(self, seg_map, q_deltas, lf_deltas=(0, 0, 0, 0)):
+        """vp8_set_roimap (onyx_if.c:5112) / VP8E_SET_ROI_MAP: per-MB
+        segment ids with per-segment quantizer and loop-filter deltas
+        (segmentation.c role). Pass seg_map=None to disable."""
+        if seg_map is None:
+            self.seg_map_enc = None
+            return
+        import numpy as _np
+        m = _np.asarray(seg_map, _np.int32)
+        assert m.shape == (self.R, self.C)
+        self.seg_map_enc = m
+        self.seg_q_deltas = [int(x) for x in q_deltas]
+        self.seg_lf_deltas = [int(x) for x in lf_deltas]
 
     @property
     def filter_level(self):
@@ -186,6 +203,14 @@ class Encoder:
 
         dq = dequant_factors(self.qindex, 0, 0, 0, 0, 0)
         self.dq_y1, self.dq_y2, self.dq_uv = dq
+        # per-segment dequant variants (delta-coded, clamped like
+        # mb_init_dequantizer decodframe.c:84-86)
+        self.seg_dq = None
+        if self.seg_map_enc is not None:
+            self.seg_dq = []
+            for s in range(4):
+                qi = min(127, max(0, self.qindex + self.seg_q_deltas[s]))
+                self.seg_dq.append(dequant_factors(qi, 0, 0, 0, 0, 0))
 
         # padded mode grids (decoder-mirroring layout)
         self.mode = np.zeros((R + 1, C + 1), np.int32)
@@ -305,6 +330,9 @@ class Encoder:
             pred_u, pred_v = bpu, bpv
 
         # ---- transform + quant + in-loop recon ----
+        if self.seg_dq is not None:
+            seg = int(self.seg_map_enc[r, c])
+            self.dq_y1, self.dq_y2, self.dq_uv = self.seg_dq[seg]
         resid = src_y - pred_y
         ycoef = np.zeros((16, 16), np.int32)
         for i in range(16):
@@ -506,7 +534,35 @@ class Encoder:
         if keyframe:
             first.write_bit(0)  # clr_type
             first.write_bit(0)  # clamp_type
-        first.write_bit(0)      # segmentation_enabled
+        if self.seg_map_enc is None:
+            first.write_bit(0)  # segmentation_enabled
+        else:
+            # segmentation header (decodframe.c:829-875 dual)
+            first.write_bit(1)  # segmentation_enabled
+            first.write_bit(1)  # update_mb_segmentation_map
+            first.write_bit(1)  # update_segment_feature_data
+            first.write_bit(0)  # delta coding
+            for deltas, bits in ((self.seg_q_deltas, 7),
+                                 (self.seg_lf_deltas, 6)):
+                for v in deltas:
+                    if v == 0:
+                        first.write_bit(0)
+                    else:
+                        first.write_bit(1)
+                        first.write_literal(abs(v), bits)
+                        first.write_bit(1 if v < 0 else 0)
+            # segment tree probs from the map's distribution
+            counts = [int((self.seg_map_enc == s).sum()) for s in range(4)]
+            tot = max(1, sum(counts))
+            lo = counts[0] + counts[1]
+            hi = counts[2] + counts[3]
+            self.seg_tree_probs = [
+                min(254, max(1, 255 * lo // tot)),
+                min(254, max(1, 255 * counts[0] // max(1, lo))),
+                min(254, max(1, 255 * counts[2] // max(1, hi)))]
+            for pr_ in self.seg_tree_probs:
+                first.write_bit(1)
+                first.write_literal(pr_, 8)
         first.write_bit(0)      # filter_type (normal)
         first.write_literal(self.filter_level, 6)
         first.write_literal(0, 3)   # sharpness
@@ -616,6 +672,16 @@ class Encoder:
     def _pack_mb_modes(self, e, r, c, keyframe):
         pr, pc = r + 1, c + 1
         mode = int(self.mode[pr, pc])
+        if self.seg_map_enc is not None:
+            # read_mb_features dual (decodemv.c:582-594)
+            seg = int(self.seg_map_enc[r, c])
+            p = self.seg_tree_probs
+            if seg < 2:
+                e.write(0, p[0])
+                e.write(seg, p[1])
+            else:
+                e.write(1, p[0])
+                e.write(seg - 2, p[2])
         if self.mb_no_coeff_skip:
             e.write(int(self.skip[r, c]), self.prob_skip_false)
         if keyframe:

@@ -12,7 +12,7 @@ from libvpx_opencl_tpu.utils.md5 import frame_md5, load_golden_md5s
 
 STREAMS = ["kf_qcif", "kf_cif", "inter_qcif", "inter_cif", "part4_cif",
            "odd_65x49", "lowrate_qcif", "profile1_qcif", "profile2_qcif",
-           "profile3_qcif"]
+           "profile3_qcif", "seg_roi_qcif"]
 
 
 @pytest.mark.parametrize("name", STREAMS)

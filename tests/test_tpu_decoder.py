@@ -13,7 +13,7 @@ from libvpx_opencl_tpu.utils.md5 import frame_md5, load_golden_md5s
 # kf_cif/part4_cif share kf_qcif/inter_cif geometries' logic; keep the CI
 # set small — the full 7-stream sweep runs in test_refdec + bench preflight.
 STREAMS = ["kf_qcif", "inter_qcif", "odd_65x49", "lowrate_qcif",
-           "profile1_qcif", "profile3_qcif"]
+           "profile1_qcif", "profile3_qcif", "seg_roi_qcif"]
 
 
 @pytest.mark.parametrize("name", STREAMS)
