@@ -416,8 +416,29 @@ class Encoder:
         b = BORDER
         y0, x0 = b + r * 16, b + c * 16
         near, nearest, best_mv, probs, cnt = self._find_near(r, c)
-        # search center: best_mv full-pel
+        # search center: best_mv full-pel (or the multi-res hint when it
+        # scores better — get_lower_res_motion_info role, pickinter.c:397)
         cyc, cxc = best_mv[0] >> 3, best_mv[1] >> 3
+        hints = getattr(self, "mv_hints", None)
+        if hints is not None:
+            hy, hx = int(hints[r, c, 0]) >> 3, int(hints[r, c, 1]) >> 3
+            b = BORDER
+            y0_, x0_ = b + r * 16, b + c * 16
+            lo_r_ = -(r * 16) - 16
+            hi_r_ = (self.R - 1 - r) * 16 + 16
+            lo_c_ = -(c * 16) - 16
+            hi_c_ = (self.C - 1 - c) * 16 + 16
+            hy = min(max(hy, lo_r_), hi_r_)
+            hx = min(max(hx, lo_c_), hi_c_)
+            cyc0 = min(max(cyc, lo_r_), hi_r_)
+            cxc0 = min(max(cxc, lo_c_), hi_c_)
+            blk_h = ref.y[y0_ + hy:y0_ + hy + 16, x0_ + hx:x0_ + hx + 16]
+            blk_c = ref.y[y0_ + cyc0:y0_ + cyc0 + 16,
+                          x0_ + cxc0:x0_ + cxc0 + 16]
+            import numpy as _np
+            if _np.abs(src_y - blk_h.astype(_np.int32)).sum() < \
+                    _np.abs(src_y - blk_c.astype(_np.int32)).sum():
+                cyc, cxc = hy, hx
         # clamp center so candidates stay within the UMV border
         rng = 16
         lo_r = max(-(r * 16) - 16, cyc - rng)
