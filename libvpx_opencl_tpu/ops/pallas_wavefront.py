@@ -345,3 +345,208 @@ def pack_params(cols, R, C):
     while len(rows) < 8:
         rows.append(jnp.zeros((D, M), jnp.int32))
     return jnp.stack(rows, 1)
+
+
+# ---------------------------------------------------------------------------
+# loop filter kernel
+
+def _edge_filter(patch, span, pos, orient, mb_edge, simple,
+                 apply_m, mblim, blim, lim, hev_t):
+    """Filter one edge in the patch scratch ref.
+
+    patch: VMEM ref [(bw+4), (bw+4), M]; span = (lo, hi) rows (V) / cols (H)
+    along the edge; pos = patch coordinate of the edge (4/8/12/16);
+    orient 'v' or 'h'. Static slices only."""
+    lo, hi = span
+
+    def get(i):
+        if orient == 'v':
+            return patch[lo:hi, pos - 4 + i, :]
+        return patch[pos - 4 + i, lo:hi, :]
+
+    def put(i, val):
+        if orient == 'v':
+            patch[lo:hi, pos - 4 + i:pos - 3 + i, :] = val[:, None, :]
+        else:
+            patch[pos - 4 + i:pos - 3 + i, lo:hi, :] = val[None, :, :]
+
+    p3, p2, p1, p0 = get(0), get(1), get(2), get(3)
+    q0, q1, q2, q3 = get(4), get(5), get(6), get(7)
+    am = apply_m[None, :]
+    if simple:
+        lm = blim if not mb_edge else mblim
+        mask = (jnp.abs(p0 - q0) * 2 + jnp.abs(p1 - q1) // 2
+                <= lm[None, :]) & am
+        op0, oq0 = lfops.simple_filter(mask, p1, p0, q0, q1)
+        put(3, op0)
+        put(4, oq0)
+        return
+    lm = mblim if mb_edge else blim
+    mask = lfops.filter_mask(lim[None, :], lm[None, :],
+                             p3, p2, p1, p0, q0, q1, q2, q3) & am
+    hev = lfops.hev_mask(hev_t[None, :], p1, p0, q0, q1)
+    if mb_edge:
+        np2, np1, np0, nq0, nq1, nq2 = lfops.mbfilter(
+            mask, hev, p2, p1, p0, q0, q1, q2)
+        put(1, np2)
+        put(6, nq2)
+    else:
+        np1, np0, nq0, nq1 = lfops.filter4(mask, hev, p1, p0, q0, q1)
+    put(2, np1)
+    put(3, np0)
+    put(4, nq0)
+    put(5, nq1)
+
+
+def _lf_kernel(R, C, simple, dummy_flags_ref,
+               y_in_ref, u_in_ref, v_in_ref, params_ref,
+               by_ref, ly_ref, uy_ref,
+               bu_ref, lu_ref, uu_ref,
+               bv_ref, lv_ref, uv_ref,
+               hist_y, lstrip_y, hist_u, lstrip_u, hist_v, lstrip_v,
+               patch):
+    del dummy_flags_ref
+    d = pl.program_id(0)
+    M = R
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)[0]
+    c = d - 2 * lane
+    valid = (c >= 0) & (c < C)
+    left_ok = valid & (c > 0)
+    up_ok = valid & (lane > 0)
+    s2 = d & 1
+
+    @pl.when(d == 0)
+    def _():
+        for buf in (hist_y, lstrip_y, hist_u, lstrip_u, hist_v, lstrip_v):
+            buf[...] = jnp.zeros(buf.shape, buf.dtype)
+
+    flevel = params_ref[0, 0]
+    mblim = params_ref[0, 1]
+    blim = params_ref[0, 2]
+    lim = params_ref[0, 3]
+    hev_t = params_ref[0, 4]
+    noskip = params_ref[0, 5] != 0
+    active = valid & (flevel > 0)
+
+    def run_plane(in_ref, hist, lstrip, b_ref, l_ref, u_ref_, bw,
+                  do_filter):
+        # build patch: [bw+4, bw+4, M] (top 4 rows = above strip,
+        # left 4 cols = left strip)
+        patch[4:bw + 4, 4:bw + 4, :] = in_ref[0]
+        above = _lane_up(_slot2_read(hist, s2)[:, :bw], axis=2)  # [4,bw,M]
+        patch[0:4, 4:bw + 4, :] = jnp.where(up_ok[None, None, :], above, 0)
+        patch[4:bw + 4, 0:4, :] = jnp.where(left_ok[None, None, :],
+                                            lstrip[:bw], 0)
+        if do_filter:
+            span = (4, bw + 4)
+            _edge_filter(patch, span, 4, 'v', True, simple, active & left_ok,
+                         mblim, blim, lim, hev_t)
+            for pos in range(8, bw + 4, 4):
+                _edge_filter(patch, span, pos, 'v', False, simple,
+                             active & noskip, mblim, blim, lim, hev_t)
+            _edge_filter(patch, span, 4, 'h', True, simple, active & up_ok,
+                         mblim, blim, lim, hev_t)
+            for pos in range(8, bw + 4, 4):
+                _edge_filter(patch, span, pos, 'h', False, simple,
+                             active & noskip, mblim, blim, lim, hev_t)
+        b_ref[0] = patch[4:bw + 4, 4:bw + 4, :]
+        l_ref[0] = patch[4:bw + 4, 0:4, :]
+        u_ref_[0] = patch[0:4, 4:bw + 4, :]
+        # frontier updates
+        new_strip = patch[bw:bw + 4, 4:bw + 4, :]       # own bottom 4 rows
+        hist[0] = jnp.where(s2 == 0, new_strip, hist[0, :, :bw])
+        hist[1] = jnp.where(s2 == 1, new_strip, hist[1, :, :bw])
+        # patch previous entry (this MB's left neighbor) cols bw-4..bw with
+        # the L-strip's bottom 4 rows — the (r-1,c+1)->(r-1,c) edit seen by
+        # the below reader (loopfilter.c raster order)
+        lpatch = patch[bw:bw + 4, 0:4, :]
+        old0 = hist[0, :, bw - 4:bw]
+        old1 = hist[1, :, bw - 4:bw]
+        sel0 = (s2 == 1) & left_ok[None, None, :]
+        sel1 = (s2 == 0) & left_ok[None, None, :]
+        hist[0, :, bw - 4:bw, :] = jnp.where(sel0, lpatch, old0)
+        hist[1, :, bw - 4:bw, :] = jnp.where(sel1, lpatch, old1)
+        lstrip[:bw] = patch[4:bw + 4, bw:bw + 4, :]     # own last 4 cols
+
+    run_plane(y_in_ref, hist_y, lstrip_y, by_ref, ly_ref, uy_ref, 16, True)
+    run_plane(u_in_ref, hist_u, lstrip_u, bu_ref, lu_ref, uu_ref, 8,
+              not simple)
+    run_plane(v_in_ref, hist_v, lstrip_v, bv_ref, lv_ref, uv_ref, 8,
+              not simple)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def loop_filter_pallas(R, C, simple, interpret,
+                       y_blocks, u_blocks, v_blocks, params):
+    """Wavefront loop filter over diag-major blocks.
+
+    y/u/v [D, n, n, M] int32; params [D, 8, M] int32 rows
+    (flevel, mblim, blim, lim, hev, noskip).
+    Returns (By, Ly, Uy, Bu, Lu, Uu, Bv, Lv, Uv) diag-major int32; compose
+    with lf_compose."""
+    D = y_blocks.shape[0]
+    M = R
+
+    def spec(a, b):
+        return pl.BlockSpec((1, a, b, M), lambda d, *_: (d, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(D,),
+        in_specs=[spec(16, 16), spec(8, 8), spec(8, 8),
+                  pl.BlockSpec((1, 8, M), lambda d, *_: (d, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(spec(16, 16), spec(16, 4), spec(4, 16),
+                   spec(8, 8), spec(8, 4), spec(4, 8),
+                   spec(8, 8), spec(8, 4), spec(4, 8)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, 16, M), jnp.int32),   # hist_y
+            pltpu.VMEM((16, 4, M), jnp.int32),      # lstrip_y
+            pltpu.VMEM((2, 4, 8, M), jnp.int32),
+            pltpu.VMEM((8, 4, M), jnp.int32),
+            pltpu.VMEM((2, 4, 8, M), jnp.int32),
+            pltpu.VMEM((8, 4, M), jnp.int32),
+            pltpu.VMEM((20, 20, M), jnp.int32),     # patch workspace
+        ])
+    shapes = [(16, 16), (16, 4), (4, 16), (8, 8), (8, 4), (4, 8),
+              (8, 8), (8, 4), (4, 8)]
+    return pl.pallas_call(
+        functools.partial(_lf_kernel, R, C, simple),
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct((D, a, b, M), jnp.int32)
+                        for a, b in shapes),
+        interpret=interpret,
+    )(jnp.zeros((D,), jnp.int32), y_blocks, u_blocks, v_blocks, params)
+
+
+def lf_compose(outs, R, C, simple):
+    """Overlay deferred edit strips: B + L(right nbr) + U(below nbr).
+
+    outs = the 9 diag-major arrays from loop_filter_pallas. Returns
+    (y, u, v) diag-major [D, n, n, M] final filtered blocks."""
+    By, Ly, Uy, Bu, Lu, Uu, Bv, Lv, Uv = outs
+    D = By.shape[0]
+    M = R
+    dgrid = np.arange(D)[:, None]
+    lgrid = np.arange(M)[None, :]
+    cgrid = dgrid - 2 * lgrid
+    has_right = jnp.asarray((cgrid + 1 < C) & (cgrid >= 0) & (lgrid < R))
+    has_down = jnp.asarray((lgrid + 1 < R) & (cgrid >= 0) & (cgrid < C))
+
+    def compose(Bst, Lst, Ust, bw):
+        # right neighbor (r, c+1) = diag d+1, same lane
+        lstrip = jnp.roll(Lst, -1, axis=0)
+        right_cols = jnp.where(has_right[:, None, None, :], lstrip,
+                               Bst[:, :, bw - 4:bw, :])
+        out = jnp.concatenate([Bst[:, :, :bw - 4, :], right_cols], axis=2)
+        # below neighbor (r+1, c) = diag d+2, lane r+1
+        ustrip = jnp.roll(jnp.roll(Ust, -2, axis=0), -1, axis=3)
+        down_rows = jnp.where(has_down[:, None, None, :], ustrip,
+                              out[:, bw - 4:bw, :, :])
+        return jnp.concatenate([out[:, :bw - 4, :, :], down_rows], axis=1)
+
+    y = compose(By, Ly, Uy, 16)
+    if simple:
+        return y, Bu, Bv
+    return y, compose(Bu, Lu, Uu, 8), compose(Bv, Lv, Uv, 8)
