@@ -61,72 +61,134 @@ def _blk4_to_mb(blocks, g):
         .reshape(n, g * 4, g * 4)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def decode_frame_device(R, C, simple_lf, do_lf,
-                        ref_y, ref_u, ref_v, ref_idx,
-                        qc_vals, qc_idx, y2_big, dq_y1, dq_y2, dq_uv, has_y2,
-                        intra, mode, uv_mode, bmodes,
-                        mv0, uvmv0, taps,
-                        sp_mb, sp_tile, sp_mv, sp_valid,
-                        sq_mb, sq_quad, sq_mv, sq_valid,
-                        flevel, mblim_a, blim_a, lim_a, hev_a, noskip_a):
-    """One frame: residuals → MC → intra wavefront → LF wavefront → extend."""
-    from . import wavefront as wf
+# The decode pipeline is split into FOUR device programs so that the
+# bucket-padded (shape-variant) stages never force a recompile of the big
+# wavefront program: a new coefficient/SPLITMV/out-of-band bucket costs a
+# small-program compile only.  All intermediates stay device-resident.
+#
+# Per-MB metadata crosses the tunnel as two BUNDLES (u8 [12,N], i16 [10,N])
+# instead of ~20 separate arrays: each device_put costs ~0.3ms of host time
+# in this deployment, so transfer count matters as much as volume.
+
+(U8_REF, U8_MODE, U8_UVMODE, U8_INTRA, U8_HASY2, U8_Y2BIG, U8_FLEVEL,
+ U8_MBLIM, U8_BLIM, U8_LIM, U8_HEV, U8_NOSKIP) = range(12)
+(I16_MVY, I16_MVX, I16_UVMVY, I16_UVMVX, I16_DQY1DC, I16_DQY1AC,
+ I16_DQY2DC, I16_DQY2AC, I16_DQUVDC, I16_DQUVAC) = range(10)
+
+
+def _unpack_nibbles(qc8, escb):
+    """[rows, 8] u8 nibble-packed levels (+8 biased) + escape scatter
+    ([E,2] i32 (flat idx, value)) -> [rows, 16] int16 levels."""
+    rows = qc8.shape[0]
+    qc8 = qc8.astype(jnp.int32)
+    nib = jnp.stack([qc8 & 15, qc8 >> 4], axis=-1).reshape(rows, 16) - 8
+    nib = nib.astype(jnp.int16)
+    return nib.reshape(-1).at[escb[:, 0]].set(
+        escb[:, 1].astype(jnp.int16), mode="drop",
+        unique_indices=True).reshape(rows, 16)
+
+
+def _residual_core(qcoeff, u8b, i16b):
+    return tf.compute_residual_blocks(
+        qcoeff, u8b[U8_Y2BIG] != 0,
+        i16b[I16_DQY1DC:I16_DQY1AC + 1].T,
+        i16b[I16_DQY2DC:I16_DQY2AC + 1].T,
+        i16b[I16_DQUVDC:I16_DQUVAC + 1].T, u8b[U8_HASY2] != 0)
+
+
+@jax.jit
+def _residuals_dense(qc_vals, escb, u8b, i16b):
+    N = u8b.shape[1]
+    qcoeff = _unpack_nibbles(qc_vals, escb).reshape(N, 25, 16)
+    return _residual_core(qcoeff, u8b, i16b)
+
+
+@jax.jit
+def _residuals_compact(qc_vals, qc_idx, escb, u8b, i16b):
+    """Coefficients arrive block-compacted (most blocks are all-zero);
+    densify with one scatter (padding rows carry an out-of-range index)."""
+    N = u8b.shape[1]
+    vals = _unpack_nibbles(qc_vals, escb)
+    dense = jnp.zeros((N * 25, 16), jnp.int16)
+    dense = dense.at[qc_idx].set(vals, mode="drop", unique_indices=True)
+    return _residual_core(dense.reshape(N, 25, 16), u8b, i16b)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _mc_dense_device(R, C, ref_y, ref_u, ref_v, u8b, i16b, taps):
+    """Dense gather-free inter prediction (ops/mc_dense.py).
+
+    mv0/uvmv0 are pre-zeroed on the host for intra / SPLITMV / out-of-band
+    MBs, so every dense window is in bounds; excluded MBs are overwritten
+    by _mc_fixup_device. Returns per-MB block images [N,16,16]/[N,8,8]."""
+    from ..ops import mc_dense as MD
     N = R * C
-    HP, WP = R * 16 + 2 * B, C * 16 + 2 * B
-    HPc, WPc = R * 8 + 2 * B2, C * 8 + 2 * B2
-    sch = wf.schedule(R, C)
-    # widen the narrow transfer dtypes on-device
-    ref_idx = ref_idx.astype(jnp.int32)
-    mode = mode.astype(jnp.int32)
-    uv_mode = uv_mode.astype(jnp.int32)
-    bmodes = bmodes.astype(jnp.int32)
-    mv0 = mv0.astype(jnp.int32)
-    uvmv0 = uvmv0.astype(jnp.int32)
-    flevel = flevel.astype(jnp.int32)
-    mblim_a = mblim_a.astype(jnp.int32)
-    blim_a = blim_a.astype(jnp.int32)
-    lim_a = lim_a.astype(jnp.int32)
-    hev_a = hev_a.astype(jnp.int32)
+    ridx = u8b[U8_REF].astype(jnp.int32).reshape(R, C)
+    mv0 = i16b[I16_MVY:I16_MVX + 1].T.astype(jnp.int32)
+    uvmv0 = i16b[I16_UVMVY:I16_UVMVX + 1].T.astype(jnp.int32)
+    tx_y = taps[mv0[:, 1] & 7].reshape(R, C, 6)
+    ty_y = taps[mv0[:, 0] & 7].reshape(R, C, 6)
+    mc_y_pl = MD.mc_dense_plane(ref_y, ridx, (mv0[:, 1] >> 3).reshape(R, C),
+                                (mv0[:, 0] >> 3).reshape(R, C),
+                                tx_y, ty_y, R, C, 16, B)
+    tx_c = taps[uvmv0[:, 1] & 7].reshape(R, C, 6)
+    ty_c = taps[uvmv0[:, 0] & 7].reshape(R, C, 6)
+    dxc = (uvmv0[:, 1] >> 3).reshape(R, C)
+    dyc = (uvmv0[:, 0] >> 3).reshape(R, C)
+    mc_u_pl = MD.mc_dense_plane(ref_u, ridx, dxc, dyc, tx_c, ty_c,
+                                R, C, 8, B2)
+    mc_v_pl = MD.mc_dense_plane(ref_v, ridx, dxc, dyc, tx_c, ty_c,
+                                R, C, 8, B2)
 
-    # 1. residuals (as per-MB block images)
-    # coefficients arrive block-compacted (most blocks are all-zero);
-    # densify with one scatter (padding rows carry an out-of-range index)
-    if qc_idx is None:
-        qcoeff = qc_vals.reshape(N, 25, 16)
-    else:
-        dense = jnp.zeros((N * 25, 16), jnp.int16)
-        dense = dense.at[qc_idx].set(qc_vals, mode="drop",
-                                     unique_indices=True)
-        qcoeff = dense.reshape(N, 25, 16)
-    ry, ru, rv = tf.compute_residuals(qcoeff, y2_big, dq_y1, dq_y2, dq_uv,
-                                      has_y2)
-    resid_y_b = _blk4_to_mb(ry, 4)
-    resid_u_b = _blk4_to_mb(ru, 2)
-    resid_v_b = _blk4_to_mb(rv, 2)
+    def plane_to_mb(pl, bw):
+        return pl.reshape(R, bw, C, bw).transpose(0, 2, 1, 3) \
+            .reshape(N, bw, bw)
 
-    # 2. batched inter prediction — uniform-MV fast path: one (bw+5)^2
-    # gather per MB; SPLITMV sub-block MVs fixed up by a second, sparse pass
-    mb = jnp.arange(N)
-    mb_r, mb_c = mb // C, mb % C
-    sy = B + mb_r * 16 + (mv0[:, 0] >> 3)
-    sx = B + mb_c * 16 + (mv0[:, 1] >> 3)
-    mc_y = P.mc_predict_blocks(ref_y, ref_idx, jnp.stack([sy, sx], 1),
-                               mv0[:, 1] & 7, mv0[:, 0] & 7, taps, 16)
-    cmv0 = uvmv0
-    csy = B2 + mb_r * 8 + (cmv0[:, 0] >> 3)
-    csx = B2 + mb_c * 8 + (cmv0[:, 1] >> 3)
-    cstarts = jnp.stack([csy, csx], 1)
-    mc_u = P.mc_predict_blocks(ref_u, ref_idx, cstarts, cmv0[:, 1] & 7,
-                               cmv0[:, 0] & 7, taps, 8)
-    mc_v = P.mc_predict_blocks(ref_v, ref_idx, cstarts, cmv0[:, 1] & 7,
-                               cmv0[:, 0] & 7, taps, 8)
+    return (plane_to_mb(mc_y_pl, 16), plane_to_mb(mc_u_pl, 8),
+            plane_to_mb(mc_v_pl, 8))
 
-    # SPLITMV fixup (sparse; sp_* arrays are bucket-padded on the host)
-    if sp_mb.shape[0] > 0:
-        n_ = sp_mb
-        k_ = sp_tile
-        smv = sp_mv.astype(jnp.int32)
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _mc_fixup_device(R, C, mc_y, mc_u, mc_v,
+                     ref_y, ref_u, ref_v, u8b, taps, obb, spb, sqb):
+    """Sparse MC fixups over the dense prediction:
+      * out-of-band MBs (MV beyond the dense band bounds): whole-MB
+        windowed-gather prediction (reconinter.c large-motion case);
+      * SPLITMV sub-block MVs (reconinter.c:449-525): per-tile prediction.
+    Worklists arrive as bucket-padded i32 bundles (obb [S,6]: mb, mv y/x,
+    uvmv y/x, valid; spb/sqb [S,5]: mb, tile/quad, mv y/x, valid); this
+    program recompiles per bucket size, cheaply (it contains no wavefront).
+    """
+    N = R * C
+    ref_idx = u8b[U8_REF].astype(jnp.int32)
+    if obb.shape[0] > 0:
+        ob_mb = obb[:, 0]
+        obmv = obb[:, 1:3]
+        obuv = obb[:, 3:5]
+        ob_valid = obb[:, 5] != 0
+        o_r, o_c = ob_mb // C, ob_mb % C
+        osy = B + o_r * 16 + (obmv[:, 0] >> 3)
+        osx = B + o_c * 16 + (obmv[:, 1] >> 3)
+        ob_y = P.mc_predict_blocks(ref_y, ref_idx[ob_mb],
+                                   jnp.stack([osy, osx], 1),
+                                   obmv[:, 1] & 7, obmv[:, 0] & 7, taps, 16)
+        ocy = B2 + o_r * 8 + (obuv[:, 0] >> 3)
+        ocx = B2 + o_c * 8 + (obuv[:, 1] >> 3)
+        oc = jnp.stack([ocy, ocx], 1)
+        ob_u = P.mc_predict_blocks(ref_u, ref_idx[ob_mb], oc,
+                                   obuv[:, 1] & 7, obuv[:, 0] & 7, taps, 8)
+        ob_v = P.mc_predict_blocks(ref_v, ref_idx[ob_mb], oc,
+                                   obuv[:, 1] & 7, obuv[:, 0] & 7, taps, 8)
+        osafe = jnp.where(ob_valid, ob_mb, N)
+        mc_y = mc_y.at[osafe].set(ob_y, mode="drop", unique_indices=True)
+        mc_u = mc_u.at[osafe].set(ob_u, mode="drop", unique_indices=True)
+        mc_v = mc_v.at[osafe].set(ob_v, mode="drop", unique_indices=True)
+
+    if spb.shape[0] > 0:
+        n_ = spb[:, 0]
+        k_ = spb[:, 1]
+        smv = spb[:, 2:4]
+        sp_valid = spb[:, 4] != 0
         ty0 = B + (n_ // C) * 16 + (k_ >> 2) * 4 + (smv[:, 0] >> 3)
         tx0 = B + (n_ % C) * 16 + (k_ & 3) * 4 + (smv[:, 1] >> 3)
         tiles = P.mc_predict_tiles(ref_y, ref_idx[n_],
@@ -138,9 +200,10 @@ def decode_frame_device(R, C, simple_lf, do_lf,
         cols = ((k_ & 3) * 4)[:, None, None] + a4[None, None, :]
         mc_y = mc_y.at[nsafe[:, None, None], rows, cols].set(
             tiles, mode="drop", unique_indices=True)
-        nq = sq_mb
-        q_ = sq_quad
-        qmv = sq_mv.astype(jnp.int32)
+        nq = sqb[:, 0]
+        q_ = sqb[:, 1]
+        qmv = sqb[:, 2:4]
+        sq_valid = sqb[:, 4] != 0
         qy0 = B2 + (nq // C) * 8 + (q_ >> 1) * 4 + (qmv[:, 0] >> 3)
         qx0 = B2 + (nq % C) * 8 + (q_ & 1) * 4 + (qmv[:, 1] >> 3)
         qstarts = jnp.stack([qy0, qx0], 1)
@@ -155,23 +218,55 @@ def decode_frame_device(R, C, simple_lf, do_lf,
             uq, mode="drop", unique_indices=True)
         mc_v = mc_v.at[nqsafe[:, None, None], qrows, qcols].set(
             vq, mode="drop", unique_indices=True)
+    return mc_y, mc_u, mc_v
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _wavefront_device(R, C, simple_lf, do_lf, interp,
+                      mc_y, mc_u, mc_v, resid_y_b, resid_u_b, resid_v_b,
+                      u8b, bmodes, bflags):
+    """Residual add → Pallas intra wavefront → Pallas LF wavefront →
+    plane assembly + border extension.  Fixed shapes per frame geometry."""
+    from ..ops import pallas_wavefront as PW
+    HP, WP = R * 16 + 2 * B, C * 16 + 2 * B
+    HPc, WPc = R * 8 + 2 * B2, C * 8 + 2 * B2
+    u32 = u8b.astype(jnp.int32)
+    mode = u32[U8_MODE]
+    uv_mode = u32[U8_UVMODE]
+    intra = u8b[U8_INTRA] != 0
+    bmodes = bmodes.astype(jnp.int32)
+    flevel = u32[U8_FLEVEL]
+    mblim_a = u32[U8_MBLIM]
+    blim_a = u32[U8_BLIM]
+    lim_a = u32[U8_LIM]
+    hev_a = u32[U8_HEV]
+    noskip_a = u8b[U8_NOSKIP] != 0
 
     inter_y = jnp.clip(mc_y + resid_y_b, 0, 255)
     inter_u = jnp.clip(mc_u + resid_u_b, 0, 255)
     inter_v = jnp.clip(mc_v + resid_v_b, 0, 255)
 
-    # 3+4. intra wavefront over diagonal-major block stores
-    yb, ub, vb = wf.intra_recon_blocks(R, C, sch, inter_y, inter_u, inter_v,
-                                       resid_y_b, resid_u_b, resid_v_b,
-                                       mode, uv_mode, intra, bmodes)
+    # intra wavefront (single Pallas kernel, frontier in VMEM scratch)
+    d16 = lambda x: PW.to_diag(x, R, C)  # noqa: E731
+    params_i = PW.pack_params([mode, uv_mode, intra.astype(jnp.int32)], R, C)
+    bmd = jnp.stack([PW.vec_to_diag(bmodes[:, k], R, C) for k in range(16)],
+                    axis=1)
+    yd, ud, vd = PW.intra_recon_pallas(
+        R, C, interp, bflags, d16(inter_y), d16(inter_u), d16(inter_v),
+        d16(resid_y_b), d16(resid_u_b), d16(resid_v_b), params_i, bmd)
 
-    # 5. loop filter wavefront
+    # loop filter wavefront (Pallas kernel + deferred edit-strip compose)
     if do_lf:
-        yb, ub, vb = wf.loop_filter_blocks(R, C, sch, simple_lf, yb, ub, vb,
-                                           flevel, mblim_a, blim_a, lim_a,
-                                           hev_a, noskip_a)
+        params_l = PW.pack_params([flevel, mblim_a, blim_a, lim_a, hev_a,
+                                   noskip_a.astype(jnp.int32)], R, C)
+        outs = PW.loop_filter_pallas(R, C, simple_lf, interp, yd, ud, vd,
+                                     params_l)
+        yd, ud, vd = PW.lf_compose(outs, R, C, simple_lf)
+    yb = PW.from_diag(yd, R, C)
+    ub = PW.from_diag(ud, R, C)
+    vb = PW.from_diag(vd, R, C)
 
-    # 6. plane assembly + border extension
+    # plane assembly + border extension
     cy = jnp.zeros((HP, WP), jnp.uint8)
     cu = jnp.zeros((HPc, WPc), jnp.uint8)
     cv = jnp.zeros((HPc, WPc), jnp.uint8)
@@ -187,8 +282,36 @@ def decode_frame_device(R, C, simple_lf, do_lf,
     return cy, cu, cv
 
 
+def decode_frame_device(R, C, simple_lf, do_lf, interp,
+                        ref_y, ref_u, ref_v, u8b, i16b,
+                        qc_vals, qc_idx, escb, bmodes, taps, bflags,
+                        obb, spb, sqb):
+    """One frame on device, orchestrating the four sub-programs."""
+    if qc_idx is None:
+        resid = _residuals_dense(qc_vals, escb, u8b, i16b)
+    else:
+        resid = _residuals_compact(qc_vals, qc_idx, escb, u8b, i16b)
+    mc = _mc_dense_device(R, C, ref_y, ref_u, ref_v, u8b, i16b, taps)
+    if obb.shape[0] > 0 or spb.shape[0] > 0:
+        mc = _mc_fixup_device(R, C, *mc, ref_y, ref_u, ref_v, u8b, taps,
+                              obb, spb, sqb)
+    return _wavefront_device(R, C, simple_lf, do_lf, interp, *mc, *resid,
+                             u8b, bmodes, bflags)
+
+
 # ---------------------------------------------------------------------------
 # host integration
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _pack_visible(y, u, v, w, h):
+    """Crop + concatenate the visible pixels into ONE u8 buffer so readback
+    is a single host transfer (3 round trips → 1 over the tunnel)."""
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    return jnp.concatenate([
+        jax.lax.dynamic_slice(y, (B, B), (h, w)).reshape(-1),
+        jax.lax.dynamic_slice(u, (B2, B2), (ch, cw)).reshape(-1),
+        jax.lax.dynamic_slice(v, (B2, B2), (ch, cw)).reshape(-1)])
+
 
 class DeviceFrame:
     """Device-resident frame with the FrameBuffer interface pieces the
@@ -197,13 +320,61 @@ class DeviceFrame:
     def __init__(self, y, u, v, w, h):
         self.y, self.u, self.v = y, u, v
         self.w, self.h = w, h
+        self._packed = None
+
+    def packed(self):
+        """Packed visible pixels (device u8 1-D array, lazily built).
+        Callers may .copy_to_host_async() it to overlap the transfer."""
+        if self._packed is None:
+            self._packed = _pack_visible(self.y, self.u, self.v,
+                                         self.w, self.h)
+        return self._packed
 
     def visible(self):
         ch, cw = (self.h + 1) // 2, (self.w + 1) // 2
-        y, u, v = jax.device_get((self.y[B:B + self.h, B:B + self.w],
-                                  self.u[B2:B2 + ch, B2:B2 + cw],
-                                  self.v[B2:B2 + ch, B2:B2 + cw]))
-        return y, u, v
+        buf = np.asarray(self.packed())
+        ny, nc = self.h * self.w, ch * cw
+        return (buf[:ny].reshape(self.h, self.w),
+                buf[ny:ny + nc].reshape(ch, cw),
+                buf[ny + nc:].reshape(ch, cw))
+
+
+class FrameFuture:
+    """frame_to_show handle while the dispatch worker is still uploading /
+    enqueueing the frame: resolves to the DeviceFrame on first pixel access
+    so the host entropy thread never blocks on the tunnel."""
+
+    def __init__(self, fut):
+        self._fut = fut
+
+    def _f(self):
+        return self._fut.result()
+
+    @property
+    def y(self):
+        return self._f().y
+
+    @property
+    def u(self):
+        return self._f().u
+
+    @property
+    def v(self):
+        return self._f().v
+
+    @property
+    def w(self):
+        return self._f().w
+
+    @property
+    def h(self):
+        return self._f().h
+
+    def packed(self):
+        return self._f().packed()
+
+    def visible(self):
+        return self._f().visible()
 
 
 class TPUDecoder(RefDecoder):
@@ -211,13 +382,30 @@ class TPUDecoder(RefDecoder):
 
     Reuses RefDecoder's host entropy layer (headers, mode/MV, detokenize —
     C++-accelerated by default) and replaces reconstruction + loop filter +
-    borders with one jitted device program per frame geometry.
+    borders with device programs per frame geometry.
+
+    Host pipeline: the entropy thread (this object's caller) hands each
+    frame's prepared numpy arrays to a single ordered dispatch worker that
+    does the device uploads + program dispatch + reference-ring swap — the
+    TPU twin of the reference's decode/loop-filter thread overlap
+    (threading.c:252-478): upload of frame N overlaps entropy decode of
+    frame N+1 and device compute of frame N-1.
     """
 
     use_native = True
 
+    _taps_dev = None
+    _dispatch_pool = None
+    _pending = None
+
     def _alloc(self):
+        self._sync()
         super()._alloc()
+        if self._taps_dev is None:
+            self._taps_dev = {}
+        if self._dispatch_pool is None:
+            import concurrent.futures as cf
+            self._dispatch_pool = cf.ThreadPoolExecutor(max_workers=1)
         R, C = self.mb_rows, self.mb_cols
         HP, WP = R * 16 + 2 * B, C * 16 + 2 * B
         HPc, WPc = R * 8 + 2 * B2, C * 8 + 2 * B2
@@ -226,35 +414,80 @@ class TPUDecoder(RefDecoder):
                         jnp.zeros((HPc, WPc), jnp.uint8), self.w, self.h)
         self.last = self.golden = self.altref = z
 
+    def _sync(self):
+        """Join the dispatch worker (before any main-thread access to the
+        device reference ring: _alloc, concealment, get/set_reference)."""
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
+
+    def conceal_missing_frame(self):
+        self._sync()
+        return super().conceal_missing_frame()
+
     def _reconstruct(self):
         self._detokenize_all()
-        args = self._prep_arrays()
-        cy, cu, cv = decode_frame_device(
-            self.mb_rows, self.mb_cols, bool(self.simple_filter),
-            self.filter_level > 0, *args)
-        self.cur = DeviceFrame(cy, cu, cv, self.w, self.h)
+        np_args = self._prep_arrays()
+        meta = (self.mb_rows, self.mb_cols, bool(self.simple_filter),
+                self.filter_level > 0, self.frame_type,
+                getattr(self, "copy_to_arf", 0),
+                getattr(self, "copy_to_gf", 0),
+                getattr(self, "refresh_golden", 0),
+                getattr(self, "refresh_alt", 0),
+                getattr(self, "refresh_last", 1),
+                bool(self.use_bilinear), self.w, self.h)
+        self._pending = self._dispatch_pool.submit(self._worker_dispatch,
+                                                   np_args, meta)
 
-    def _swap_and_filter(self):
-        # swap logic only — LF/extension already ran on device
-        cur = self.cur
-        if self.frame_type == 0:
+    def _worker_dispatch(self, np_args, meta):
+        """Dispatch-worker thread: upload, run the device programs, build
+        the DeviceFrame, apply the reference-ring swap (handles only)."""
+        (R, C, simple_lf, do_lf, frame_type, copy_to_arf, copy_to_gf,
+         refresh_golden, refresh_alt, refresh_last, use_bilinear,
+         w, h) = meta
+        (u8b, i16b, qc_vals, qc_idx, escb, bmodes, taps,
+         bflags, obb, spb, sqb) = np_args
+        tdev = self._taps_dev.get(use_bilinear)
+        if tdev is None:
+            tdev = jnp.asarray(np.asarray(taps, np.int32))
+            self._taps_dev[use_bilinear] = tdev
+        up = [u8b, i16b, qc_vals, escb, bmodes, bflags, obb, spb, sqb]
+        if qc_idx is not None:
+            up.append(qc_idx)
+        dev = jax.device_put(up)
+        qc_idx_d = dev.pop() if qc_idx is not None else None
+        (u8b, i16b, qc_vals, escb, bmodes, bflags, obb, spb, sqb) = dev
+        ref_y = jnp.stack([self.last.y, self.golden.y, self.altref.y])
+        ref_u = jnp.stack([self.last.u, self.golden.u, self.altref.u])
+        ref_v = jnp.stack([self.last.v, self.golden.v, self.altref.v])
+        cy, cu, cv = decode_frame_device(
+            R, C, simple_lf, do_lf, jax.default_backend() == "cpu",
+            ref_y, ref_u, ref_v, u8b, i16b, qc_vals, qc_idx_d, escb,
+            bmodes, tdev, bflags, obb, spb, sqb)
+        cur = DeviceFrame(cy, cu, cv, w, h)
+        if frame_type == 0:
             self.golden = self.altref = self.last = cur
         else:
-            if self.copy_to_arf == 1:
+            if copy_to_arf == 1:
                 self.altref = self.last
-            elif self.copy_to_arf == 2:
+            elif copy_to_arf == 2:
                 self.altref = self.golden
-            if self.copy_to_gf == 1:
+            if copy_to_gf == 1:
                 self.golden = self.last
-            elif self.copy_to_gf == 2:
+            elif copy_to_gf == 2:
                 self.golden = self.altref
-            if self.refresh_golden:
+            if refresh_golden:
                 self.golden = cur
-            if self.refresh_alt:
+            if refresh_alt:
                 self.altref = cur
-            if self.refresh_last:
+            if refresh_last:
                 self.last = cur
-        self.frame_to_show = cur
+        return cur
+
+    def _swap_and_filter(self):
+        # device-side swap runs on the dispatch worker; here only the
+        # entropy-context restore (sequential with the entropy thread)
+        self.frame_to_show = FrameFuture(self._pending)
         if not self.refresh_entropy:
             self.fc = self.lfc.copy()
 
@@ -271,23 +504,37 @@ class TPUDecoder(RefDecoder):
         bmodes = self.bmode[1:, 1:].reshape(N, 16).astype(np.uint8)
         qcoeff = np.ascontiguousarray(self.qcoeff.reshape(N, 25, 16),
                                       dtype=np.int16)
-        # block-compact the coefficients for transfer (most blocks are zero);
-        # bucket-padded to keep the compiled-shape set small
+        # coefficient transfer packing: 4-bit nibbles (levels are almost
+        # always in [-8, 7]) with a sparse escape list for the rest, and
+        # block-compaction when most blocks are all-zero.  Bucket-padded to
+        # keep the compiled-shape set small.  Cuts the per-frame upload 4x —
+        # the host->TPU tunnel is the decode bottleneck in this deployment.
         qflat = qcoeff.reshape(N * 25, 16)
         nzb = np.flatnonzero(qflat.any(axis=1))
         K = len(nzb)
         cap = N * 25
-        if K >= cap // 2:
-            qc_vals, qc_idx = qflat, None
+        if K >= cap // 4:
+            sel, qc_idx = qflat, None
         else:
             Kp = max(1024, cap // 8)
             while Kp < K:
                 Kp *= 2
             Kp = min(Kp, cap)
-            qc_vals = np.zeros((Kp, 16), np.int16)
+            sel = np.zeros((Kp, 16), np.int16)
             qc_idx = np.full(Kp, cap, np.int32)
-            qc_vals[:K] = qflat[nzb]
+            sel[:K] = qflat[nzb]
             qc_idx[:K] = nzb
+        nib = np.clip(sel + 8, 0, 15).astype(np.uint8)
+        qc_vals = nib[:, 0::2] | (nib[:, 1::2] << 4)          # [rows, 8] u8
+        esc_r, esc_c = np.nonzero((sel < -8) | (sel > 7))
+        E = len(esc_r)
+        Ep = 1024
+        while Ep < E:
+            Ep *= 8
+        esc_idx = np.full(Ep, sel.shape[0] * 16, np.int32)
+        esc_val = np.zeros(Ep, np.int16)
+        esc_idx[:E] = esc_r * 16 + esc_c
+        esc_val[:E] = sel[esc_r, esc_c]
         y2_big = np.ascontiguousarray(self.eobs.reshape(N, 25)[:, 24] > 1)
         has_y2 = np.logical_and(mode != B_PRED, mode != SPLITMV)
 
@@ -354,52 +601,96 @@ class TPUDecoder(RefDecoder):
 
         if ns:
             S = bucket(ns * 16)
-            sp_mb = np.zeros(S, np.int32)
-            sp_tile = np.zeros(S, np.int32)
-            sp_mv = np.zeros((S, 2), np.int16)
-            sp_valid = np.zeros(S, bool)
-            sp_mb[:ns * 16] = np.repeat(split_mbs, 16)
-            sp_tile[:ns * 16] = np.tile(np.arange(16), ns)
-            sp_mv[:ns * 16] = y_mv[sp_mb[:ns * 16], sp_tile[:ns * 16]]
-            sp_valid[:ns * 16] = True
+            spb = np.zeros((S, 5), np.int32)
+            k = ns * 16
+            spb[:k, 0] = np.repeat(split_mbs, 16)
+            spb[:k, 1] = np.tile(np.arange(16), ns)
+            spb[:k, 2:4] = y_mv[spb[:k, 0], spb[:k, 1]]
+            spb[:k, 4] = 1
             S2 = bucket(ns * 4)
-            sq_mb = np.zeros(S2, np.int32)
-            sq_quad = np.zeros(S2, np.int32)
-            sq_mv = np.zeros((S2, 2), np.int16)
-            sq_valid = np.zeros(S2, bool)
-            sq_mb[:ns * 4] = np.repeat(split_mbs, 4)
-            sq_quad[:ns * 4] = np.tile(np.arange(4), ns)
-            sq_mv[:ns * 4] = uv_mv[sq_mb[:ns * 4], sq_quad[:ns * 4]]
-            sq_valid[:ns * 4] = True
+            sqb = np.zeros((S2, 5), np.int32)
+            k = ns * 4
+            sqb[:k, 0] = np.repeat(split_mbs, 4)
+            sqb[:k, 1] = np.tile(np.arange(4), ns)
+            sqb[:k, 2:4] = uv_mv[sqb[:k, 0], sqb[:k, 1]]
+            sqb[:k, 4] = 1
         else:
-            sp_mb = np.zeros(0, np.int32)
-            sp_tile = np.zeros(0, np.int32)
-            sp_mv = np.zeros((0, 2), np.int16)
-            sp_valid = np.zeros(0, bool)
-            sq_mb = np.zeros(0, np.int32)
-            sq_quad = np.zeros(0, np.int32)
-            sq_mv = np.zeros((0, 2), np.int16)
-            sq_valid = np.zeros(0, bool)
+            spb = np.zeros((0, 5), np.int32)
+            sqb = np.zeros((0, 5), np.int32)
 
-        mv0 = np.ascontiguousarray(y_mv[:, 0, :], dtype=np.int16)
-        uvmv0 = np.ascontiguousarray(uv_mv[:, 0, :], dtype=np.int16)
+        mv0 = np.ascontiguousarray(y_mv[:, 0, :], dtype=np.int32)
+        uvmv0 = np.ascontiguousarray(uv_mv[:, 0, :], dtype=np.int32)
         dq_y1 = dq_y1.astype(np.int16)
         dq_y2 = dq_y2.astype(np.int16)
         dq_uv = dq_uv.astype(np.int16)
 
-        ref_y = jnp.stack([self.last.y, self.golden.y, self.altref.y])
-        ref_u = jnp.stack([self.last.u, self.golden.u, self.altref.u])
-        ref_v = jnp.stack([self.last.v, self.golden.v, self.altref.v])
-        j = jnp.asarray
-        return (ref_y, ref_u, ref_v, j(ref_idx), j(qc_vals),
-                None if qc_idx is None else j(qc_idx), j(y2_big),
-                j(dq_y1), j(dq_y2), j(dq_uv), j(has_y2), j(intra), j(mode),
-                j(uv_mode), j(bmodes), j(mv0), j(uvmv0),
-                j(np.asarray(taps, np.int32)),
-                j(sp_mb), j(sp_tile), j(sp_mv), j(sp_valid),
-                j(sq_mb), j(sq_quad), j(sq_mv),
-                j(sq_valid), j(flevel), j(mblim_a),
-                j(blim_a), j(lim_a), j(hev_a), j(noskip_a))
+        # dense-MC exclusion mask + out-of-band fixup worklist
+        # (mc_dense.py handles |MV| within the band bounds and windows inside
+        # the bordered plane; everything else runs the windowed-gather path)
+        from ..ops import mc_dense as MD
+        HP, WP = R * 16 + 2 * B, C * 16 + 2 * B
+        HPc, WPc = R * 8 + 2 * B2, C * 8 + 2 * B2
+        nidx = np.arange(N)
+        rr, cc = nidx // C, nidx % C
+        ok_y = MD.window_in_bounds(mv0[:, 1] >> 3, mv0[:, 0] >> 3, rr, cc,
+                                   R, C, 16, B, HP, WP)
+        ok_c = MD.window_in_bounds(uvmv0[:, 1] >> 3, uvmv0[:, 0] >> 3, rr,
+                                   cc, R, C, 8, B2, HPc, WPc)
+        inter_m = ~intra
+        is_split = mode == SPLITMV
+        ob_mask = inter_m & ~is_split & ~(ok_y & ok_c)
+        dense_m = (inter_m & ~is_split & ~ob_mask)[:, None]
+        ob_mbs = np.nonzero(ob_mask)[0]
+        nob = len(ob_mbs)
+        if nob:
+            S = 128
+            while S < nob:
+                S *= 8
+            obb = np.zeros((S, 6), np.int32)
+            obb[:nob, 0] = ob_mbs
+            obb[:nob, 1:3] = mv0[ob_mbs]
+            obb[:nob, 3:5] = uvmv0[ob_mbs]
+            obb[:nob, 5] = 1
+        else:
+            obb = np.zeros((0, 6), np.int32)
+        mv0 = np.where(dense_m, mv0, 0).astype(np.int16)
+        uvmv0 = np.where(dense_m, uvmv0, 0).astype(np.int16)
+
+        # per-diagonal B_PRED presence flags (scalar-prefetched by the
+        # Pallas intra kernel to gate the 16-step sub-block recursion)
+        Dp = 2 * (R - 1) + C
+        bflags = np.zeros(Dp, np.int32)
+        isb = (mode == B_PRED) & intra
+        bflags[2 * rr[isb] + cc[isb]] = 1
+
+        # metadata bundles: two uploads instead of ~20
+        u8b = np.empty((12, N), np.uint8)
+        u8b[U8_REF] = ref_idx
+        u8b[U8_MODE] = mode
+        u8b[U8_UVMODE] = uv_mode
+        u8b[U8_INTRA] = intra
+        u8b[U8_HASY2] = has_y2
+        u8b[U8_Y2BIG] = y2_big
+        u8b[U8_FLEVEL] = flevel
+        u8b[U8_MBLIM] = mblim_a
+        u8b[U8_BLIM] = blim_a
+        u8b[U8_LIM] = lim_a
+        u8b[U8_HEV] = hev_a
+        u8b[U8_NOSKIP] = noskip_a
+        i16b = np.empty((10, N), np.int16)
+        i16b[I16_MVY] = mv0[:, 0]
+        i16b[I16_MVX] = mv0[:, 1]
+        i16b[I16_UVMVY] = uvmv0[:, 0]
+        i16b[I16_UVMVX] = uvmv0[:, 1]
+        i16b[I16_DQY1DC:I16_DQY1AC + 1] = dq_y1.T
+        i16b[I16_DQY2DC:I16_DQY2AC + 1] = dq_y2.T
+        i16b[I16_DQUVDC:I16_DQUVAC + 1] = dq_uv.T
+        escb = np.empty((len(esc_idx), 2), np.int32)
+        escb[:, 0] = esc_idx
+        escb[:, 1] = esc_val
+
+        return (u8b, i16b, qc_vals, qc_idx, escb, bmodes,
+                np.asarray(taps, np.int32), bflags, obb, spb, sqb)
 
     def _mb_dequant_seg(self, seg, base_dq, cache):
         """Per-segment dequant variant (mb_init_dequantizer decodframe.c:74-89)."""

@@ -310,31 +310,37 @@ def diag_depth(R, C):
 
 
 def to_diag(blocks, R, C):
-    """[R*C, n, n] raster MB blocks -> [D, n, n, M=R] diag-major."""
+    """[R*C, n, n] raster MB blocks -> [D, n, n, M=R] diag-major.
+
+    Zero-copy skew trick: target T[m, d] = A[m, d-2m].  Flattened,
+    T_flat[m*D + d] = T_flat[m*(D+2) + (d-2m)], i.e. T is just A with its
+    rows padded to width D+2 and the flat buffer re-strided to width D.
+    Negative d-2m lands in the previous row's zero padding (D+2-2(R-1) > C),
+    so invalid lanes read zeros — one pad + two reshapes, no slicing loop."""
     n = blocks.shape[1]
     D = diag_depth(R, C)
-    b = blocks.reshape(R, C, n, n)
-    out = jnp.zeros((R, D, n, n), blocks.dtype)
-    for r in range(R):
-        out = jax.lax.dynamic_update_slice(out, b[r:r + 1], (r, 2 * r, 0, 0))
-    return out.transpose(1, 2, 3, 0)
+    b = blocks.reshape(R, C, n * n)
+    b = jnp.pad(b, ((0, 0), (0, D + 2 - C), (0, 0)))
+    t = b.reshape(R * (D + 2), n * n)[:R * D].reshape(R, D, n, n)
+    return t.transpose(1, 2, 3, 0)
 
 
 def from_diag(x, R, C):
-    """[D, n, n, M=R] diag-major -> [R*C, n, n] raster."""
+    """[D, n, n, M=R] diag-major -> [R*C, n, n] raster (inverse skew)."""
     n = x.shape[1]
-    rows = [x[2 * r:2 * r + C, :, :, r] for r in range(R)]
-    return jnp.stack(rows, 0).reshape(R * C, n, n)
+    D = diag_depth(R, C)
+    t = x.transpose(3, 0, 1, 2).reshape(R * D, n * n)
+    s = jnp.pad(t, ((0, 2 * R), (0, 0))).reshape(R, D + 2, n * n)
+    return s[:, :C].reshape(R * C, n, n)
 
 
 def vec_to_diag(vals, R, C, dtype=jnp.int32):
-    """[R*C] per-MB values -> [D, M=R]."""
+    """[R*C] per-MB values -> [D, M=R] (same skew trick as to_diag)."""
     D = diag_depth(R, C)
     v = vals.reshape(R, C).astype(dtype)
-    out = jnp.zeros((R, D), dtype)
-    for r in range(R):
-        out = jax.lax.dynamic_update_slice(out, v[r:r + 1], (r, 2 * r))
-    return out.transpose(1, 0)
+    v = jnp.pad(v, ((0, 0), (0, D + 2 - C)))
+    t = v.reshape(R * (D + 2))[:R * D].reshape(R, D)
+    return t.transpose(1, 0)
 
 
 def pack_params(cols, R, C):

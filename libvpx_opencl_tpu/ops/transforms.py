@@ -115,6 +115,93 @@ def compute_residuals(qcoeff, y2_big, dq_y1, dq_y2, dq_uv, has_y2):
     return resid_y, resid_uv[:, :4], resid_uv[:, 4:]
 
 
+def idct4x4_lanes(x):
+    """idct4x4_batch with the block index in the LAST (lane) axis.
+
+    x: [..., 4, 4, N] int32. TPU layout note: the batched form keeps the
+    4-wide block dims minor, which tiles at 1/256 VPU utilisation; this
+    form keeps N (thousands of blocks) in the 128-lane axis."""
+    a1 = x[..., 0, :, :] + x[..., 2, :, :]
+    b1 = x[..., 0, :, :] - x[..., 2, :, :]
+    t1 = (x[..., 1, :, :] * SINPI8SQRT2) >> 16
+    t2 = x[..., 3, :, :] + ((x[..., 3, :, :] * COSPI8SQRT2MINUS1) >> 16)
+    c1 = t1 - t2
+    t1 = x[..., 1, :, :] + ((x[..., 1, :, :] * COSPI8SQRT2MINUS1) >> 16)
+    t2 = (x[..., 3, :, :] * SINPI8SQRT2) >> 16
+    d1 = t1 + t2
+    tmp = jnp.stack([_s16(a1 + d1), _s16(b1 + c1),
+                     _s16(b1 - c1), _s16(a1 - d1)], axis=-3)
+    a1 = tmp[..., 0, :] + tmp[..., 2, :]
+    b1 = tmp[..., 0, :] - tmp[..., 2, :]
+    t1 = (tmp[..., 1, :] * SINPI8SQRT2) >> 16
+    t2 = tmp[..., 3, :] + ((tmp[..., 3, :] * COSPI8SQRT2MINUS1) >> 16)
+    c1 = t1 - t2
+    t1 = tmp[..., 1, :] + ((tmp[..., 1, :] * COSPI8SQRT2MINUS1) >> 16)
+    t2 = (tmp[..., 3, :] * SINPI8SQRT2) >> 16
+    d1 = t1 + t2
+    return jnp.stack([_s16((a1 + d1 + 4) >> 3), _s16((b1 + c1 + 4) >> 3),
+                      _s16((b1 - c1 + 4) >> 3), _s16((a1 - d1 + 4) >> 3)],
+                     axis=-2)
+
+
+def inv_walsh_lanes(x):
+    """inv_walsh_batch with lanes last: x [4, 4, N] -> [16, N] DCs."""
+    a1 = x[0] + x[3]
+    b1 = x[1] + x[2]
+    c1 = x[1] - x[2]
+    d1 = x[0] - x[3]
+    tmp = jnp.stack([_s16(a1 + b1), _s16(c1 + d1),
+                     _s16(a1 - b1), _s16(d1 - c1)], axis=0)  # [4(col),4,N]
+    a1 = tmp[:, 0] + tmp[:, 3]
+    b1 = tmp[:, 1] + tmp[:, 2]
+    c1 = tmp[:, 1] - tmp[:, 2]
+    d1 = tmp[:, 0] - tmp[:, 3]
+    out = jnp.stack([_s16((a1 + b1 + 3) >> 3), _s16((c1 + d1 + 3) >> 3),
+                     _s16((a1 - b1 + 3) >> 3), _s16((d1 - c1 + 3) >> 3)],
+                    axis=1)  # [4(row? col), 4, N] -> raster [16, N]
+    return out.reshape(16, -1)
+
+
+def compute_residual_blocks(qcoeff, y2_big, dq_y1, dq_y2, dq_uv, has_y2):
+    """compute_residuals reformulated lane-major for the VPU.
+
+    Same contract as compute_residuals (qcoeff [N,25,16], dq_* [N,2]) but
+    all 4-point butterflies run with the MB index in the 128-lane axis
+    and the result is returned as MB images (y [N,16,16], u/v [N,8,8]
+    int32).  Bit-exact vs compute_residuals
+    (tests/test_transforms.py::test_residual_blocks_lane_major).
+    """
+    n = qcoeff.shape[0]
+    qt = qcoeff.astype(jnp.int32).transpose(1, 2, 0)      # [25, 16, N]
+    dq_y1 = dq_y1.astype(jnp.int32).T                      # [2, N]
+    dq_y2 = dq_y2.astype(jnp.int32).T
+    dq_uv = dq_uv.astype(jnp.int32).T
+    # --- Y2 ---
+    ac = jnp.asarray([0] + [1] * 15, jnp.int32)[:, None]   # [16,1]
+    dqv_y2 = jnp.where(ac != 0, dq_y2[1][None], dq_y2[0][None])
+    y2 = _s16(qt[24] * dqv_y2)                             # [16, N]
+    wht_full = inv_walsh_lanes(y2.reshape(4, 4, n))
+    dc1 = _s16((_s16(qt[24, 0] * dq_y2[0]) + 3) >> 3)
+    wht = jnp.where(y2_big[None, :], wht_full, dc1[None, :])  # [16, N]
+    # --- Y ---
+    dqv_y1 = jnp.where(ac != 0, dq_y1[1][None], dq_y1[0][None])
+    dq_y = _s16(qt[:16] * dqv_y1[None])                    # [16, 16, N]
+    dc = jnp.where(has_y2[None, :], wht, dq_y[:, 0])
+    dq_y = jnp.concatenate([dc[:, None], dq_y[:, 1:]], axis=1)
+    ry = idct4x4_lanes(dq_y.reshape(16, 4, 4, n))          # [16, 4, 4, N]
+    # --- UV ---
+    dqv_uv = jnp.where(ac != 0, dq_uv[1][None], dq_uv[0][None])
+    uvq = _s16(qt[16:24] * dqv_uv[None])
+    ruv = idct4x4_lanes(uvq.reshape(8, 4, 4, n))           # [8, 4, 4, N]
+
+    # lane-major blocks -> MB images. [blk, 4, 4, N] with blk = by*g+bx.
+    def to_mb(x, g):
+        b = x.reshape(g, g, 4, 4, n)           # by, bx, py, px, n
+        return b.transpose(4, 0, 2, 1, 3).reshape(n, g * 4, g * 4)
+
+    return to_mb(ry, 4), to_mb(ruv[:4], 2), to_mb(ruv[4:], 2)
+
+
 def fdct4x4_batch(blocks):
     """vp8_short_fdct4x4_c (dct.c:14-56) over [..., 4, 4] int32 residuals;
     returns [..., 4, 4] coefficients. Row pass then column pass."""

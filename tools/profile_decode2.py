@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Pure device-compute timing: all inputs pre-uploaded (device-resident)."""
+"""Pure device-compute timing of the decode sub-programs (inputs
+pre-uploaded / device-resident). Uses frame 5 of the 1080p bench stream."""
 import os
 import sys
 import time
@@ -16,17 +17,12 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-from libvpx_opencl_tpu.models.tpu_decoder import (TPUDecoder, B, B2,
-                                                  decode_frame_device,
-                                                  _blk4_to_mb)
-from libvpx_opencl_tpu.models import wavefront as wf
-from libvpx_opencl_tpu.ops import transforms as tf
-from libvpx_opencl_tpu.ops import predict as P
+from libvpx_opencl_tpu.models import tpu_decoder as TD
 from libvpx_opencl_tpu.utils.ivf import read_ivf
 
 here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 stream = read_ivf(os.path.join(here, "tests", "vectors", "bench_1080p.ivf"))
-dec = TPUDecoder()
+dec = TD.TPUDecoder()
 captured = {}
 orig = dec.__class__._reconstruct
 
@@ -47,14 +43,22 @@ dec.__class__._reconstruct = orig
 
 R, C = captured['R'], captured['C']
 simple_lf, do_lf = captured['simple'], captured['do_lf']
-args = jax.device_put(captured['args'])
-jax.block_until_ready(args)
-(ref_y, ref_u, ref_v, ref_idx, qc_vals, qc_idx, y2_big, dq_y1, dq_y2, dq_uv,
- has_y2, intra, mode, uv_mode, bmodes, mv0, uvmv0, taps,
- sp_mb, sp_tile, sp_mv, sp_valid, sq_mb, sq_quad, sq_mv, sq_valid,
- flevel, mblim_a, blim_a, lim_a, hev_a, noskip_a) = args
-N = R * C
-sch = wf.schedule(R, C)
+dec._sync()
+refs = jax.device_put([
+    jnp.stack([dec.last.y, dec.golden.y, dec.altref.y]),
+    jnp.stack([dec.last.u, dec.golden.u, dec.altref.u]),
+    jnp.stack([dec.last.v, dec.golden.v, dec.altref.v])])
+args = list(captured['args'])
+qc_none = args[3] is None
+args = [a for a in args if a is not None]
+args = jax.device_put(args)
+jax.block_until_ready(args + refs)
+if qc_none:
+    args.insert(3, None)
+(u8b, i16b, qc_vals, qc_idx, escb, bmodes, taps, bflags, obb, spb,
+ sqb) = args
+ref_y, ref_u, ref_v = refs
+args = [ref_y, ref_u, ref_v] + args
 
 
 def t(name, f, *a):
@@ -69,67 +73,21 @@ def t(name, f, *a):
     return out
 
 
-t("full frame (device args)", lambda: decode_frame_device(
-    R, C, simple_lf, do_lf, *args))
-
-
-@jax.jit
-def stage_resid(qc_vals, qc_idx, y2_big, dq_y1, dq_y2, dq_uv, has_y2):
-    dense = jnp.zeros((N * 25, 16), jnp.int16)
-    dense = dense.at[qc_idx].set(qc_vals, mode="drop", unique_indices=True)
-    qcoeff = dense.reshape(N, 25, 16)
-    ry, ru, rv = tf.compute_residuals(qcoeff, y2_big, dq_y1, dq_y2, dq_uv,
-                                      has_y2)
-    return _blk4_to_mb(ry, 4), _blk4_to_mb(ru, 2), _blk4_to_mb(rv, 2)
-
-
-@jax.jit
-def stage_mc(ref_y, ref_u, ref_v, ref_idx, mv0, uvmv0, taps):
-    mb = jnp.arange(N)
-    ref_idx32 = ref_idx.astype(jnp.int32)
-    mv032 = mv0.astype(jnp.int32)
-    uvmv032 = uvmv0.astype(jnp.int32)
-    mb_r, mb_c = mb // C, mb % C
-    sy = B + mb_r * 16 + (mv032[:, 0] >> 3)
-    sx = B + mb_c * 16 + (mv032[:, 1] >> 3)
-    mc_y = P.mc_predict_blocks(ref_y, ref_idx32, jnp.stack([sy, sx], 1),
-                               mv032[:, 1] & 7, mv032[:, 0] & 7, taps, 16)
-    csy = B2 + mb_r * 8 + (uvmv032[:, 0] >> 3)
-    csx = B2 + mb_c * 8 + (uvmv032[:, 1] >> 3)
-    cstarts = jnp.stack([csy, csx], 1)
-    mc_u = P.mc_predict_blocks(ref_u, ref_idx32, cstarts, uvmv032[:, 1] & 7,
-                               uvmv032[:, 0] & 7, taps, 8)
-    mc_v = P.mc_predict_blocks(ref_v, ref_idx32, cstarts, uvmv032[:, 1] & 7,
-                               uvmv032[:, 0] & 7, taps, 8)
-    return mc_y, mc_u, mc_v
-
-
-@jax.jit
-def stage_intra(iy, iu, iv, ry, ru, rv, mode, uv_mode, intra, bmodes):
-    return wf.intra_recon_blocks(R, C, sch, iy, iu, iv, ry, ru, rv,
-                                 mode.astype(jnp.int32),
-                                 uv_mode.astype(jnp.int32), intra,
-                                 bmodes.astype(jnp.int32))
-
-
-@jax.jit
-def stage_lf(yb, ub, vb, flevel, mblim_a, blim_a, lim_a, hev_a, noskip_a):
-    return wf.loop_filter_blocks(R, C, sch, simple_lf, yb, ub, vb,
-                                 flevel.astype(jnp.int32),
-                                 mblim_a.astype(jnp.int32),
-                                 blim_a.astype(jnp.int32),
-                                 lim_a.astype(jnp.int32),
-                                 hev_a.astype(jnp.int32), noskip_a)
-
-
-ry, ru, rv = t("residuals", stage_resid, qc_vals, qc_idx, y2_big, dq_y1,
-               dq_y2, dq_uv, has_y2)
-mc_y, mc_u, mc_v = t("mc", stage_mc, ref_y, ref_u, ref_v, ref_idx, mv0,
-                     uvmv0, taps)
-iy = jnp.clip(mc_y + ry, 0, 255)
-iu = jnp.clip(mc_u + ru, 0, 255)
-iv = jnp.clip(mc_v + rv, 0, 255)
-yb, ub, vb = t("intra_wavefront", stage_intra, iy, iu, iv, ry, ru, rv,
-               mode, uv_mode, intra, bmodes)
-t("lf_wavefront", stage_lf, yb, ub, vb, flevel, mblim_a, blim_a, lim_a,
-  hev_a, noskip_a)
+print(f"qc: {'dense' if qc_none else qc_vals.shape} "
+      f"sp: {spb.shape} ob: {obb.shape}")
+if qc_none:
+    resid = t("residuals(dense)", TD._residuals_dense, qc_vals, escb,
+              u8b, i16b)
+else:
+    resid = t("residuals(compact)", TD._residuals_compact, qc_vals, qc_idx,
+              escb, u8b, i16b)
+mc = t("mc_dense", TD._mc_dense_device, R, C, ref_y, ref_u, ref_v, u8b,
+       i16b, taps)
+if obb.shape[0] or spb.shape[0]:
+    mc = t("mc_fixup", TD._mc_fixup_device, R, C, *mc, ref_y, ref_u, ref_v,
+           u8b, taps, obb, spb, sqb)
+planes = t("wavefront", TD._wavefront_device, R, C, simple_lf, do_lf, False,
+           *mc, *resid, u8b, bmodes, bflags)
+t("pack_visible", TD._pack_visible, *planes, dec.w, dec.h)
+t("full frame", TD.decode_frame_device, R, C, simple_lf, do_lf, False,
+  *args)
