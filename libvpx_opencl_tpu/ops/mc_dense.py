@@ -35,7 +35,9 @@ bounds; only interior MBs with very large motion fall out.
 
 Bit-exactness: per-pixel arithmetic is identical to P.mc_predict_blocks
 (same (x*tap+64)>>7 rounding/clamps) — verified by
-tests/test_pallas_decode.py differentials against the golden MC.
+tests/test_mc_dense.py differentials against the golden MC, and end-to-end
+by the MD5 conformance suite (models/tpu_decoder.py wires this in as the
+production inter-prediction path).
 """
 import jax
 import jax.numpy as jnp
@@ -133,11 +135,7 @@ def mc_dense_plane(refs, ridx, dx, dy, tx, ty, R, C, bw, border):
     b_all = (dx + off) & (seg - 1)
     a_lo = (off - (DX_BOUND if bw == 16 else DXC_BOUND)) >> sft
     a_hi = (off + (DX_BOUND if bw == 16 else DXC_BOUND)) >> sft
-    WIN = 4 * seg                           # >= (seg-1) + bw + 5
-    nwin = 4
-    m_idx = jnp.arange(C)
-
-    cand_masks = []
+    nwin = 4                                # window = 4 segs >= (seg-1)+bw+5
     win = None
     for i in range(nref):
         segs_i = bands[i]                   # [R, Hc, nsegB, seg]
@@ -149,7 +147,6 @@ def mc_dense_plane(refs, ridx, dx, dy, tx, ty, R, C, bw, border):
             msk = ((ridx == i) & (a_all == a))[:, None, :, None]
             win = jnp.where(msk, view, win) if win is not None else \
                 jnp.where(msk, view, jnp.zeros_like(view))
-            cand_masks.append(msk)
     # fine shift along the window axis (constant per window -> exact)
     win = _logshift(win, b_all[:, None, :, None], axis=3, nbits=sft)
 

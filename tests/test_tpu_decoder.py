@@ -10,10 +10,11 @@ from conftest import vector
 from libvpx_opencl_tpu.models.tpu_decoder import decode_ivf_tpu
 from libvpx_opencl_tpu.utils.md5 import frame_md5, load_golden_md5s
 
-# kf_cif/part4_cif share kf_qcif/inter_cif geometries' logic; keep the CI
-# set small — the full 7-stream sweep runs in test_refdec + bench preflight.
+# the FULL conformance corpus runs through the device pipeline (VERDICT r1
+# item 8: no stream may be CI-exempt from the production path)
 STREAMS = ["kf_qcif", "inter_qcif", "odd_65x49", "lowrate_qcif",
-           "profile1_qcif", "profile3_qcif", "seg_roi_qcif"]
+           "profile1_qcif", "profile2_qcif", "profile3_qcif",
+           "seg_roi_qcif", "kf_cif", "inter_cif", "part4_cif"]
 
 
 @pytest.mark.parametrize("name", STREAMS)

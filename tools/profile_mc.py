@@ -93,16 +93,6 @@ t("mc adv-index inline (real)", mc_inline, ref_y, ref_idx, sy_d, sx_d,
 
 # derive sy/sx on device from mv0 like the real code does
 @jax.jit
-def mc_derive(ref_y, ref_idx, mv0, taps):
-    mv = mv0.astype(jnp.int32)
-    mbj = jnp.arange(N)
-    sy = B + (mbj // C) * 16 + (mv[:, 0] >> 3)
-    sx = B + (mbj % C) * 16 + (mv[:, 1] >> 3)
-    return mc_inline._fun(ref_y, ref_idx, sy, sx, mv[:, 1] & 7, mv[:, 0] & 7,
-                          taps) if hasattr(mc_inline, '_fun') else None
-
-
-@jax.jit
 def mc_derive2(ref_y, ref_idx, mv0, taps):
     mv = mv0.astype(jnp.int32)
     mbj = jnp.arange(N)
