@@ -1,20 +1,24 @@
-"""Multi-chip sharded decode step: GOP data-parallelism x MB-row sharding.
+"""Multi-chip sharded VP8 decode: MB-row sharding with halo stitching.
 
-This is the scale-out skeleton of BASELINE.json configs 4-5: the batched
-pixel stages (whole-frame residuals, batched MC, reconstruction add) run
-under `shard_map` over a ('gop', 'row') mesh:
+The FULL frame program of models/tpu_decoder.py (residuals + inter MC +
+intra wavefront + loop filter + plane assembly) runs under `shard_map`
+over a ('row',) device mesh:
 
-  * 'gop'  — independent frames decode on separate device groups (the DCN
-    axis in a multi-host pod);
-  * 'row'  — one frame's MB rows are partitioned across chips (the ICI
-    axis). Reference planes are all-gathered along 'row' before MC (VP8
-    MVs reach +-127px, so the MC window is unbounded relative to a shard);
-    the 4-pixel loop-filter boundary rows are exchanged with `ppermute`
-    (the halo pattern the wavefront filter needs at shard seams).
+  * per-MB arrays and reference planes are partitioned by MB row;
+  * reference planes are all-gathered along 'row' before MC (an ICI
+    all-gather: VP8 MVs reach ±127 px so no fixed halo bounds the MC
+    window — reconinter.c:348-383 UMV clamp semantics preserved);
+  * the intra + loop-filter wavefronts run diagonal-interleaved across
+    shards with per-step `ppermute` halo strips (parallel/
+    sharded_wavefront.py) — the cross-chip twin of the reference's
+    nsync-lagged row threads (vp8/decoder/threading.c:252-478);
+  * the 4-px loop-filter seam edits travel back UP one shard after the
+    scan (the deferred U edit strips of models/wavefront.py).
 
-The wavefront stages (intra prediction, loop filter interior) currently run
-per-shard on their own rows; cross-shard wavefront stitching via the halo
-strips is the next scale-out stage (SURVEY.md §2.6.1 TPU plan).
+ShardedTPUDecoder drives the same host entropy layer as TPUDecoder and is
+MD5-identical to the golden decoder for every shard count — asserted on
+conformance streams by tests/test_sharded_decode.py and by
+__graft_entry__.dryrun_multichip.
 """
 from __future__ import annotations
 
@@ -22,78 +26,270 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as PSpec
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 from jax import shard_map
 
+from ..models import refdec
+from ..models.refdec import RefDecoder, BORDER, INTRA_FRAME, B_PRED, SPLITMV
+from ..models.tpu_decoder import (U8_REF, U8_MODE, U8_UVMODE, U8_INTRA,
+                                  U8_HASY2, U8_Y2BIG, U8_FLEVEL, U8_MBLIM,
+                                  U8_BLIM, U8_LIM, U8_HEV, U8_NOSKIP,
+                                  I16_DQY1DC, I16_DQY1AC, I16_DQY2DC,
+                                  I16_DQY2AC, I16_DQUVDC, I16_DQUVAC,
+                                  TPUDecoder)
 from ..ops import predict as P
 from ..ops import transforms as tf
+from . import sharded_wavefront as sw
+
+B = BORDER
+B2 = BORDER // 2
 
 
-def make_sharded_recon_step(mesh, R, C, G):
-    """Build a jitted sharded reconstruction step.
+def make_row_mesh(n_devices=None):
+    """A pure ('row',) mesh: one frame's MB rows across chips (ICI)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("row",))
 
-    Shapes (global):
-      qcoeff  [G, R*C, 25, 16] int16   sharded (gop, row-of-MB)
-      y2_big  [G, R*C] bool            sharded likewise
-      dq      [G, R*C, 2] x3
-      has_y2  [G, R*C] bool
-      y_mv    [G, R*C, 2] int32        (uniform per-MB MV, tile 0)
-      ref_idx [G, R*C]
-      refs    [G, 3, R*16, C*16] uint8 sharded by rows
-      taps    [8, 6] replicated
-    Returns recon [G, R*16, C*16] uint8 (sharded), halo_check [G] int32
-    (a psum'd checksum that forces the ppermute halo exchange to live).
+
+@functools.lru_cache(maxsize=32)
+def _build_program(mesh, R, Rp, C, simple_lf, do_lf):
+    """Jitted sharded frame program for an Rp x C padded MB grid.
+
+    Global input shapes (leading dims sharded by 'row'):
+      qcoeff  [Rp, C, 25, 16] i16     u8b   [12, Rp, C] u8
+      i16b    [10, Rp, C] i16         bmodes [Rp, C, 16] u8
+      y_mv    [Rp, C, 16, 2] i32      uv_mv [Rp, C, 4, 2] i32
+      ref_y   [3, Rp*16, C*16] u8     ref_u/v [3, Rp*8, C*8] u8
+      taps    [8, 6] i32 (replicated)
+    Returns (y [Rp*16, C*16], u, v) uint8 planes, row-sharded, unfiltered
+    borders (the ref ring stores visible-area planes; the program pads).
     """
     n_row = mesh.shape["row"]
-    assert R % n_row == 0, "MB rows must divide the row axis"
-    Rs = R // n_row
+    assert Rp % n_row == 0
+    Rs = Rp // n_row
+    Nl = Rs * C
 
-    def per_shard(qcoeff, y2_big, dqy1, dqy2, dquv, has_y2, y_mv, ref_idx,
-                  refs, taps):
-        # shard-local shapes: leading G//gop batch dim
-        g = qcoeff.shape[0]
-        ridx = jax.lax.axis_index("row")
+    def per_shard(qcoeff, u8b, i16b, bmodes, y_mv, uv_mv,
+                  ref_y, ref_u, ref_v, taps):
+        sidx = jax.lax.axis_index("row")
+        u32 = u8b.reshape(12, Nl).astype(jnp.int32)
+        i16 = i16b.reshape(10, Nl)
+        qc = qcoeff.reshape(Nl, 25, 16)
+        intra = u32[U8_INTRA] != 0
 
-        def one_frame(qc, eo, d1, d2, du, h2, mv, ri, rf):
-            # residuals for our Rs MB rows
-            ry, ru, rv = tf.compute_residuals(qc, eo, d1, d2, du, h2)
-            resid_y = tf.blocks_to_plane(ry, Rs, C, 16)
-            # all-gather reference rows along the row axis (ICI collective)
-            full_ref = jax.lax.all_gather(rf, "row", axis=1, tiled=True)
-            # pad so clamped MVs stay in-bounds (border extension replicate)
-            pad = 32
-            full_ref = jnp.pad(full_ref, ((0, 0), (pad, pad), (pad, pad)),
-                               mode="edge")
-            # batched MC for our rows, absolute row offset = ridx * Rs
-            n = Rs * C
-            mb = jnp.arange(n)
-            mb_r = mb // C + ridx * Rs
-            mb_c = mb % C
-            sy = pad + mb_r * 16 + (mv[:, 0] >> 3)
-            sx = pad + mb_c * 16 + (mv[:, 1] >> 3)
-            blocks = P.mc_predict_blocks(full_ref, ri,
-                                         jnp.stack([sy, sx], 1),
-                                         mv[:, 1] & 7, mv[:, 0] & 7, taps,
-                                         16)
-            pred_y = tf.mbs_to_plane(blocks, Rs, C, 16)
-            recon = jnp.clip(pred_y + resid_y, 0, 255).astype(jnp.uint8)
-            return recon
+        # 1. residuals (dequant + WHT + IDCT) — no cross-MB deps
+        resid_y, resid_u, resid_v = tf.compute_residual_blocks(
+            qc, u32[U8_Y2BIG] != 0,
+            i16[I16_DQY1DC:I16_DQY1AC + 1].T,
+            i16[I16_DQY2DC:I16_DQY2AC + 1].T,
+            i16[I16_DQUVDC:I16_DQUVAC + 1].T, u32[U8_HASY2] != 0)
 
-        recon = jax.vmap(one_frame)(qcoeff, y2_big, dqy1, dqy2, dquv, has_y2,
-                                    y_mv, ref_idx, refs)
-        # loop-filter boundary halo: send our bottom 4 rows to the next row
-        # shard (they are its mbh p-side pixels), ring over 'row'
-        bottom = recon[:, -4:, :].astype(jnp.int32)
-        halo = jax.lax.ppermute(
-            bottom, "row",
-            [(i, (i + 1) % n_row) for i in range(n_row)])
-        halo_check = jax.lax.psum(jnp.sum(halo, axis=(1, 2)), "row")
-        return recon, halo_check
+        # 2. inter MC: all-gather refs along 'row' (ICI), pad borders,
+        #    per-tile sub-pel prediction for every MB (SPLITMV and uniform
+        #    MBs share the path — filter windows are position-independent)
+        gy = jax.lax.all_gather(ref_y, "row", axis=1, tiled=True)
+        gu = jax.lax.all_gather(ref_u, "row", axis=1, tiled=True)
+        gv = jax.lax.all_gather(ref_v, "row", axis=1, tiled=True)
+        # crop away the grid-padding dummy rows BEFORE the border pad so
+        # the bottom border replicates the real last row
+        # (vp8_yv12_extend_frame_borders semantics, yv12extend.c:23-145)
+        gy = jnp.pad(gy[:, :R * 16],
+                     ((0, 0), (B, B + (Rp - R) * 16), (B, B)), mode="edge")
+        gu = jnp.pad(gu[:, :R * 8],
+                     ((0, 0), (B2, B2 + (Rp - R) * 8), (B2, B2)),
+                     mode="edge")
+        gv = jnp.pad(gv[:, :R * 8],
+                     ((0, 0), (B2, B2 + (Rp - R) * 8), (B2, B2)),
+                     mode="edge")
 
-    spec_mb = PSpec("gop", "row")
-    in_specs = (spec_mb, spec_mb, spec_mb, spec_mb, spec_mb, spec_mb,
-                spec_mb, spec_mb, PSpec("gop", None, "row"), PSpec())
-    out_specs = (PSpec("gop", "row"), PSpec("gop"))
+        nidx = jnp.arange(Nl)
+        g_r = nidx // C + sidx * Rs     # global MB row
+        l_c = nidx % C
+        ref_idx = u32[U8_REF]
+        ymv = y_mv.reshape(Nl, 16, 2)
+        k = jnp.arange(16)
+        ty0 = (B + g_r[:, None] * 16 + (k[None, :] >> 2) * 4 +
+               (ymv[:, :, 0] >> 3)).reshape(-1)
+        tx0 = (B + l_c[:, None] * 16 + (k[None, :] & 3) * 4 +
+               (ymv[:, :, 1] >> 3)).reshape(-1)
+        tiles = P.mc_predict_tiles(
+            gy, jnp.repeat(ref_idx, 16), jnp.stack([ty0, tx0], 1),
+            (ymv[:, :, 1] & 7).reshape(-1), (ymv[:, :, 0] & 7).reshape(-1),
+            taps)
+        mc_y = tiles.reshape(Nl, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
+            .reshape(Nl, 16, 16)
+        cmv = uv_mv.reshape(Nl, 4, 2)
+        q = jnp.arange(4)
+        qy0 = (B2 + g_r[:, None] * 8 + (q[None, :] >> 1) * 4 +
+               (cmv[:, :, 0] >> 3)).reshape(-1)
+        qx0 = (B2 + l_c[:, None] * 8 + (q[None, :] & 1) * 4 +
+               (cmv[:, :, 1] >> 3)).reshape(-1)
+        qstarts = jnp.stack([qy0, qx0], 1)
+        qxf = (cmv[:, :, 1] & 7).reshape(-1)
+        qyf = (cmv[:, :, 0] & 7).reshape(-1)
+        ridx4 = jnp.repeat(ref_idx, 4)
+        mc_u = P.mc_predict_tiles(gu, ridx4, qstarts, qxf, qyf, taps) \
+            .reshape(Nl, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4) \
+            .reshape(Nl, 8, 8)
+        mc_v = P.mc_predict_tiles(gv, ridx4, qstarts, qxf, qyf, taps) \
+            .reshape(Nl, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4) \
+            .reshape(Nl, 8, 8)
+        inter_y = jnp.clip(mc_y + resid_y, 0, 255)
+        inter_u = jnp.clip(mc_u + resid_u, 0, 255)
+        inter_v = jnp.clip(mc_v + resid_v, 0, 255)
+
+        # 3. intra wavefront, stitched across shards
+        yb, ub, vb = sw.intra_recon_sharded(
+            Rs, C, n_row, "row", inter_y, inter_u, inter_v,
+            resid_y, resid_u, resid_v,
+            u32[U8_MODE], u32[U8_UVMODE], intra,
+            bmodes.reshape(Nl, 16).astype(jnp.int32))
+
+        # 4. loop filter wavefront, stitched across shards
+        if do_lf:
+            yb, ub, vb = sw.loop_filter_sharded(
+                Rs, C, n_row, "row", simple_lf, yb, ub, vb,
+                u32[U8_FLEVEL], u32[U8_MBLIM], u32[U8_BLIM],
+                u32[U8_LIM], u32[U8_HEV], u8b.reshape(12, Nl)[U8_NOSKIP] != 0)
+
+        # 5. local plane assembly (this shard's 16*Rs pixel rows)
+        y_pl = tf.mbs_to_plane(yb, Rs, C, 16).astype(jnp.uint8)
+        u_pl = tf.mbs_to_plane(ub, Rs, C, 8).astype(jnp.uint8)
+        v_pl = tf.mbs_to_plane(vb, Rs, C, 8).astype(jnp.uint8)
+        return y_pl, u_pl, v_pl
+
+    row2 = PSpec("row")
+    in_specs = (row2, PSpec(None, "row"), PSpec(None, "row"), row2,
+                row2, row2,
+                PSpec(None, "row"), PSpec(None, "row"), PSpec(None, "row"),
+                PSpec())
+    out_specs = (row2, row2, row2)
     fn = shard_map(per_shard, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_vma=False)
     return jax.jit(fn)
+
+
+class ShardedFrame:
+    """Row-sharded device frame (visible-area planes, no borders)."""
+
+    def __init__(self, y, u, v, w, h):
+        self.y, self.u, self.v = y, u, v
+        self.w, self.h = w, h
+
+    def visible(self):
+        ch, cw = (self.h + 1) // 2, (self.w + 1) // 2
+        return (np.asarray(self.y)[:self.h, :self.w],
+                np.asarray(self.u)[:ch, :cw],
+                np.asarray(self.v)[:ch, :cw])
+
+
+class ShardedTPUDecoder(TPUDecoder):
+    """VP8 decoder whose pixel pipeline is sharded over an MB-row mesh.
+
+    Host entropy layer is RefDecoder's (C++-accelerated, inherited via
+    TPUDecoder for the array-prep helpers); reconstruction, loop filter
+    and the reference ring are shard_map programs / sharded arrays.
+    Bit-exact vs the golden decoder for every shard count.
+    """
+
+    use_native = True
+
+    def __init__(self, mesh=None, n_devices=None):
+        super().__init__()
+        self.mesh = mesh if mesh is not None else make_row_mesh(n_devices)
+        self.n_row = self.mesh.shape["row"]
+
+    def _alloc(self):
+        RefDecoder._alloc(self)
+        R, C = self.mb_rows, self.mb_cols
+        self.Rp = -(-R // self.n_row) * self.n_row
+        shard = NamedSharding(self.mesh, PSpec("row"))
+        z = ShardedFrame(
+            jax.device_put(np.zeros((self.Rp * 16, C * 16), np.uint8), shard),
+            jax.device_put(np.zeros((self.Rp * 8, C * 8), np.uint8), shard),
+            jax.device_put(np.zeros((self.Rp * 8, C * 8), np.uint8), shard),
+            self.w, self.h)
+        self.last = self.golden = self.altref = z
+
+    def _reconstruct(self):
+        self._detokenize_all()
+        R, C = self.mb_rows, self.mb_cols
+        Rp, N, Np = self.Rp, R * C, self.Rp * C
+
+        # reuse TPUDecoder's host prep for metadata bundles and per-tile MVs
+        (u8b, i16b, *_rest) = self._prep_arrays()
+        taps = _rest[4]
+        y_mv, uv_mv = self._prep_mvs()
+        qcoeff = np.ascontiguousarray(self.qcoeff.reshape(N, 25, 16),
+                                      dtype=np.int16)
+
+        def padN(a, axis):
+            if Np == N:
+                return a
+            widths = [(0, 0)] * a.ndim
+            widths[axis] = (0, Np - N)
+            return np.pad(a, widths)
+
+        u8b = padN(u8b, 1)
+        i16b = padN(i16b, 1)
+        qcoeff = padN(qcoeff, 0)
+        y_mv = padN(y_mv, 0)
+        uv_mv = padN(uv_mv, 0)
+        bmodes = padN(_rest[3], 0)
+        if Np != N:
+            # dummy rows: intra DC with zero residuals, filter level 0 —
+            # they read the real last row's strips and are cropped away
+            u8b[U8_INTRA, N:] = 1
+            u8b[U8_HASY2, N:] = 1
+
+        # _prep_arrays zeroes MVs for out-of-band / SPLITMV MBs (the dense-
+        # MC exclusion of the single-chip path); the sharded per-tile path
+        # handles them directly via y_mv/uv_mv, which are already complete.
+        prog = _build_program(self.mesh, R, Rp, C, bool(self.simple_filter),
+                              self.filter_level > 0)
+        shard = NamedSharding(self.mesh, PSpec("row"))
+        shard2 = NamedSharding(self.mesh, PSpec(None, "row"))
+        dev = jax.device_put(
+            [qcoeff.reshape(Rp, C, 25, 16),
+             bmodes.reshape(Rp, C, 16),
+             y_mv.reshape(Rp, C, 16, 2).astype(np.int32),
+             uv_mv.reshape(Rp, C, 4, 2).astype(np.int32)], shard)
+        dev2 = jax.device_put(
+            [u8b.reshape(12, Rp, C), i16b.reshape(10, Rp, C)], shard2)
+        ref_y = jax.device_put(
+            jnp.stack([self.last.y, self.golden.y, self.altref.y]), shard2)
+        ref_u = jax.device_put(
+            jnp.stack([self.last.u, self.golden.u, self.altref.u]), shard2)
+        ref_v = jax.device_put(
+            jnp.stack([self.last.v, self.golden.v, self.altref.v]), shard2)
+        y, u, v = prog(dev[0], dev2[0], dev2[1], dev[1], dev[2], dev[3],
+                       ref_y, ref_u, ref_v, jnp.asarray(taps))
+        self.cur = ShardedFrame(y, u, v, self.w, self.h)
+
+    def _swap_and_filter(self):
+        # ring swap only: LF already ran inside the sharded program and
+        # borders are re-padded there each frame
+        cur = self.cur
+        if self.frame_type == 0:
+            self.golden = self.altref = self.last = cur
+        else:
+            if self.copy_to_arf == 1:
+                self.altref = self.last
+            elif self.copy_to_arf == 2:
+                self.altref = self.golden
+            if self.copy_to_gf == 1:
+                self.golden = self.last
+            elif self.copy_to_gf == 2:
+                self.golden = self.altref
+            if self.refresh_golden:
+                self.golden = cur
+            if self.refresh_alt:
+                self.altref = cur
+            if self.refresh_last:
+                self.last = cur
+        self.frame_to_show = cur
+        if not self.refresh_entropy:
+            self.fc = self.lfc.copy()

@@ -1,0 +1,47 @@
+"""Shard-count invariance: the row-sharded multi-chip decoder must be
+MD5-identical to the reference vpxdec for every shard count (SURVEY.md §4
+multi-chip test plan; VERDICT r1 item 2).
+
+Runs on the virtual 8-device CPU mesh (conftest). Covers the cross-shard
+halo machinery end to end: intra strip ppermutes, loop-filter 4-px halo
+down, U-seam edits up, all-gathered reference planes, grid padding for
+non-divisible MB row counts (QCIF has 9 rows).
+"""
+import pytest
+
+from conftest import vector
+from libvpx_opencl_tpu.parallel.sharded_decode import (ShardedTPUDecoder,
+                                                       make_row_mesh)
+from libvpx_opencl_tpu.utils.ivf import read_ivf
+from libvpx_opencl_tpu.utils.md5 import frame_md5, load_golden_md5s
+
+# kf_qcif: keyframe, B_PRED, normal LF; inter_qcif: inter MC + SPLITMV;
+# seg_roi: segmentation LF deltas; profile1: bilinear + simple LF
+STREAMS = ["kf_qcif", "inter_qcif", "seg_roi_qcif", "profile1_qcif"]
+
+
+def _decode_sharded(name, n_devices, limit=None):
+    stream = read_ivf(vector(f"{name}.ivf"))
+    dec = ShardedTPUDecoder(mesh=make_row_mesh(n_devices))
+    out = []
+    for payload, _pts in stream.frames:
+        show, planes = dec.decode_frame(payload)
+        if show:
+            out.append(frame_md5(*planes))
+        if limit and len(out) >= limit:
+            break
+    return out
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 8])
+def test_shard_invariance_kf(n):
+    golden = load_golden_md5s(vector("kf_qcif.ivf.md5"))
+    got = _decode_sharded("kf_qcif", n)
+    assert got == golden[:len(got)] and len(got) == len(golden)
+
+
+@pytest.mark.parametrize("name", STREAMS)
+def test_sharded_bit_exact_4dev(name):
+    golden = load_golden_md5s(vector(f"{name}.ivf.md5"))
+    got = _decode_sharded(name, 4)
+    assert got == golden[:len(got)] and len(got) == len(golden), name
