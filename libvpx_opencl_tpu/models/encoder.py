@@ -35,6 +35,17 @@ from .refdec import (B_PRED, DC_PRED, V_PRED, H_PRED, TM_PRED,
                      INTRA_FRAME, LAST_FRAME, GOLDEN_FRAME, ALTREF_FRAME,
                      BORDER, RefDecoder, dequant_factors, _s16)
 from .boolenc import BoolEncoder
+from . import rdopt
+
+_TC_CACHE = {}
+
+
+def _default_token_costs():
+    """Frame token-cost table under the default coefficient probabilities
+    (fill_token_costs, rdopt.c:129; cached — the tables are constant)."""
+    if "d" not in _TC_CACHE:
+        _TC_CACHE["d"] = rdopt.build_token_costs(T.DEFAULT_COEF_PROBS)
+    return _TC_CACHE["d"]
 
 ZIGZAG = T.ZIGZAG.tolist()
 COEF_BANDS = T.COEF_BANDS.tolist()
@@ -125,17 +136,65 @@ def fast_quant(coeffs, dq, first=0):
     return levels, eob
 
 
+# zero-run zbin boost: the dead zone widens with the distance from the
+# previous nonzero coefficient (vp8cx_init_quantizer, quantize.c:438-440)
+ZBIN_BOOST = [0, 0, 8, 10, 12, 14, 16, 20, 24, 28, 32, 36, 40, 44, 44, 44]
+
+
+def regular_quant(coeffs, dq, qidx, first=0):
+    """vp8_regular_quantize_b_c (quantize.c:106-156): zbin dead zone with
+    zero-run boost, improved-quant reciprocal (quantize.c:411-424).
+    coeffs raster [16]; dq = (dc, ac); qidx = frame/segment Q for the
+    zbin factor (84 below Q48 else 80). Returns (levels, eob)."""
+    zf = 84 if qidx < 48 else 80
+    zbin = [((zf * dq[0]) + 64) >> 7, ((zf * dq[1]) + 64) >> 7]
+    rnd = [(48 * dq[0]) >> 7, (48 * dq[1]) >> 7]
+    qsh = []
+    for d in dq:
+        t, l = int(d), 0
+        while t > 1:
+            t >>= 1
+            l += 1
+        qsh.append((1 + (1 << (16 + l)) // int(d) - (1 << 16), l))
+    levels = np.zeros(16, np.int32)
+    eob = 0
+    zrun = first
+    for i in range(first, 16):
+        rc = ZIGZAG[i]
+        z = int(coeffs[rc])
+        k = 0 if rc == 0 else 1
+        boost = (dq[1] * ZBIN_BOOST[min(zrun, 15)]) >> 7
+        x = abs(z)
+        if x >= zbin[k] + boost:
+            x += rnd[k]
+            quant, shift = qsh[k]
+            y = (((x * quant) >> 16) + x) >> shift
+            y = min(y, 2047)
+            levels[rc] = -y if z < 0 else y
+            if y:
+                eob = i + 1
+                zrun = 0
+                continue
+        zrun += 1
+    return levels, eob
+
+
 class Encoder:
     """VP8 encoder producing IVF-compatible frame payloads."""
 
     def __init__(self, width, height, qindex=24, filter_level=None,
-                 token_parts=0, mb_no_coeff_skip=True, golden_interval=0):
+                 token_parts=0, mb_no_coeff_skip=True, golden_interval=0,
+                 rd=True):
         self.w, self.h = width, height
         self.qindex = qindex
         self.fixed_filter = filter_level
         self.token_parts = token_parts  # log2 of partition count (0..3)
         self.mb_no_coeff_skip = mb_no_coeff_skip
         self.golden_interval = golden_interval  # refresh golden every N (0=off)
+        #: True = token-cost RD mode decision + trellis coefficient
+        #: optimization (rdopt.c / encodemb.c roles); False = the fast
+        #: SAD path (pickinter.c role, used by the TPU encoder twin)
+        self.rd = rd
         self.R = (height + 15) >> 4
         self.C = (width + 15) >> 4
         self.dec = _mk_dec()
@@ -143,6 +202,12 @@ class Encoder:
         self.seg_map_enc = None       # [R, C] segment ids (0..3)
         self.seg_q_deltas = [0, 0, 0, 0]
         self.seg_lf_deltas = [0, 0, 0, 0]
+        # mode-signal probabilities used for RD costs: carried over from
+        # the previous frame's pack (cpi->prob_intra_coded role)
+        self.prob_intra = 63
+        self.prob_last = 255
+        self.prob_gf = 128
+        self.prob_skip_false = 192
 
     def set_roimap(self, seg_map, q_deltas, lf_deltas=(0, 0, 0, 0)):
         """vp8_set_roimap (onyx_if.c:5112) / VP8E_SET_ROI_MAP: per-MB
@@ -217,8 +282,16 @@ class Encoder:
         self.uvmode = np.zeros((R, C), np.int32)
         self.reff = np.zeros((R + 1, C + 1), np.int32)
         self.mv = np.zeros((R + 1, C + 1, 2), np.int32)
+        self.bmode = np.zeros((R + 1, C + 1, 16), np.int32)
         self.qcoeff = np.zeros((R, C, 25, 16), np.int32)
         self.eobs = np.zeros((R, C, 25), np.int32)
+        # RD state: lambda (vp8_initialize_rd_consts), frame token-cost
+        # table (pre-update defaults, matching refresh_entropy_probs=0),
+        # and the entropy-context mirror tracked in raster order
+        self.rdmult, self.rddiv, self.errorperbit = rdopt.rd_consts(
+            self.qindex)
+        self._tc = _default_token_costs()
+        self._actx = np.zeros((C, 9), np.int32)
 
         if refresh_golden is None:
             refresh_golden = bool(
@@ -231,8 +304,12 @@ class Encoder:
             if self.golden_interval and self.dec.golden is not self.dec.last:
                 refs.append((self.dec.golden, GOLDEN_FRAME))
         for r in range(R):
+            self._lctx = np.zeros(9, np.int32)
             for c in range(C):
-                self._encode_mb(r, c, keyframe, refs)
+                if self.rd:
+                    self._encode_mb_rd(r, c, keyframe, refs)
+                else:
+                    self._encode_mb(r, c, keyframe, refs)
 
         # per-MB skip decision (decode_macroblock's eobtotal==0 semantics)
         self.skip = np.zeros((R, C), np.int32)
@@ -360,6 +437,407 @@ class Encoder:
 
         # reconstruct exactly as the decoder does (decodframe.c:247-305)
         self._recon_mb(r, c, pred_y, pred_u, pred_v)
+        # keep the bmode context grid consistent for B_PRED neighbors
+        self.bmode[r + 1, c + 1] = 0
+
+    # ------------------------------------------------------------------
+    # RD path: token-cost mode decision (rdopt.c:560,1714,2374 roles) +
+    # trellis coefficient optimization (encodemb.c:224 optimize_b)
+
+    def _quant_y16(self, src_y, pred_y, dq_y1, dq_y2, qidx):
+        """FDCT + WHT + regular zbin quant of a 16x16 Y residual (has_y2
+        layout). Returns (coeffs [17,16] with Y2 at [16], q, eobs [17],
+        tdist)."""
+        resid = src_y - pred_y
+        coeffs = np.zeros((17, 16), np.int32)
+        for i in range(16):
+            by, bx = (i >> 2) * 4, (i & 3) * 4
+            coeffs[i] = fdct4x4(resid[by:by + 4, bx:bx + 4])
+        coeffs[16] = walsh4x4(coeffs[:16, 0].copy())
+        q = np.zeros((17, 16), np.int32)
+        eobs = np.zeros(17, np.int32)
+        q[16], eobs[16] = regular_quant(coeffs[16], dq_y2, qidx)
+        for i in range(16):
+            q[i], e = regular_quant(coeffs[i], dq_y1, qidx, first=1)
+            eobs[i] = max(e, 1)
+        # transform-domain error, DC excluded for Y (vp8_mbblock_error
+        # dc=0) + Y2 error (vp8_block_error); caller shifts >>2
+        dqv2 = np.array([dq_y2[0]] + [dq_y2[1]] * 15, np.int64)
+        err = int(((coeffs[:16, 1:] -
+                    q[:16, 1:].astype(np.int64) * dq_y1[1]) ** 2).sum())
+        err += int(((coeffs[16].astype(np.int64) - q[16] * dqv2) ** 2).sum())
+        return coeffs, q, eobs, err
+
+    def _quant_uv(self, src_u, pred_u, src_v, pred_v, dq_uv, qidx):
+        """Returns (coeffs [8,16], q, eobs [8], tdist)."""
+        coeffs = np.zeros((8, 16), np.int32)
+        for pi, (sp, pp) in enumerate(((src_u, pred_u), (src_v, pred_v))):
+            residc = sp - pp
+            for j in range(4):
+                by, bx = (j >> 1) * 4, (j & 1) * 4
+                coeffs[pi * 4 + j] = fdct4x4(residc[by:by + 4, bx:bx + 4])
+        q = np.zeros((8, 16), np.int32)
+        eobs = np.zeros(8, np.int32)
+        for j in range(8):
+            q[j], eobs[j] = regular_quant(coeffs[j], dq_uv, qidx)
+        dqv = np.array([dq_uv[0]] + [dq_uv[1]] * 15, np.int64)
+        err = int(((coeffs.astype(np.int64) - q * dqv[None]) ** 2).sum())
+        return coeffs, q, eobs, err
+
+    def _cost_y(self, q, eobs, has_y2, actx, lctx):
+        """Token rate of the Y (+Y2) blocks; updates the ctx copies."""
+        rate = 0
+        if has_y2:
+            r_, nz = rdopt.cost_block(q[16], int(eobs[16]), 0,
+                                      int(actx[8] + lctx[8]), self._tc[1])
+            rate += r_
+            actx[8] = lctx[8] = nz
+            btype, start = 0, 1
+        else:
+            btype, start = 3, 0
+        for i in range(16):
+            ia, il = BLOCK2ABOVE[i], BLOCK2LEFT[i]
+            r_, nz = rdopt.cost_block(q[i], int(eobs[i]), start,
+                                      int(actx[ia] + lctx[il]),
+                                      self._tc[btype])
+            rate += r_
+            actx[ia] = lctx[il] = nz
+        return rate
+
+    def _cost_uv(self, q, eobs, actx, lctx):
+        rate = 0
+        for j in range(8):
+            i = 16 + j
+            ia, il = BLOCK2ABOVE[i], BLOCK2LEFT[i]
+            r_, nz = rdopt.cost_block(q[j], int(eobs[j]), 0,
+                                      int(actx[ia] + lctx[il]), self._tc[2])
+            rate += r_
+            actx[ia] = lctx[il] = nz
+        return rate
+
+    def _rdc(self, rate, dist):
+        return ((128 + rate * self.rdmult) >> 8) + self.rddiv * dist
+
+    def _above_bmode(self, pr, pc, b):
+        if b < 4:
+            m = int(self.mode[pr - 1, pc])
+            if m == B_PRED:
+                return int(self.bmode[pr - 1, pc, b + 12])
+            return refdec.MODE_TO_BMODE.get(m, 0)
+        return int(self.bmode[pr, pc, b - 4])
+
+    def _left_bmode(self, pr, pc, b):
+        if b % 4 == 0:
+            m = int(self.mode[pr, pc - 1])
+            if m == B_PRED:
+                return int(self.bmode[pr, pc - 1, b + 3])
+            return refdec.MODE_TO_BMODE.get(m, 0)
+        return int(self.bmode[pr, pc, b - 1])
+
+    def _pick_bpred(self, r, c, src_y, keyframe, actx, lctx, dq_y1, qidx,
+                    commit=False):
+        """rd_pick_intra4x4mby_modes (rdopt.c:670-760 role): greedy
+        per-subblock bmode RD with in-loop reconstruction, trellis on the
+        chosen coefficients. Returns (rate, dist, q [16,16], eobs [16],
+        bmodes [16]); when commit, writes the reconstruction into rec."""
+        b = BORDER
+        y0, x0 = b + r * 16, b + c * 16
+        # workspace window (row y0-1 .. y0+16, col x0-1 .. x0+20), with
+        # the above-right down-copy (vp8_intra_prediction_down_copy)
+        ws = self.rec.y[y0 - 1:y0 + 17, x0 - 1:x0 + 21].copy()
+        ar = ws[0, 17:21].copy()
+        ws[4, 17:21] = ar
+        ws[8, 17:21] = ar
+        ws[12, 17:21] = ar
+        pr, pc = r + 1, c + 1
+        dqv = np.array([dq_y1[0]] + [dq_y1[1]] * 15, np.int64)
+        bmodes = np.zeros(16, np.int32)
+        qout = np.zeros((16, 16), np.int32)
+        eout = np.zeros(16, np.int32)
+        rate_total, err_total = 0, 0
+        local_bm = np.zeros(16, np.int32)
+        for i in range(16):
+            by = 1 + (i >> 2) * 4
+            bx = 1 + (i & 3) * 4
+            sb = src_y[(i >> 2) * 4:(i >> 2) * 4 + 4,
+                       (i & 3) * 4:(i & 3) * 4 + 4]
+            if keyframe:
+                a = local_bm[i - 4] if i >= 4 else self._above_bmode(pr, pc, i)
+                l = local_bm[i - 1] if i % 4 else self._left_bmode(pr, pc, i)
+                bcost = rdopt.KF_BMODE_COST[int(a)][int(l)]
+            else:
+                bcost = rdopt.BMODE_COST
+            ia, il = BLOCK2ABOVE[i], BLOCK2LEFT[i]
+            ctx = int(actx[ia] + lctx[il])
+            best = None
+            for m in range(10):
+                RefDecoder._intra4x4_predict(ws, by, bx, m)
+                pred = ws[by:by + 4, bx:bx + 4].astype(np.int32)
+                coefs = fdct4x4(sb - pred)
+                ql, eob = regular_quant(coefs, dq_y1, qidx)
+                rate_, _nz = rdopt.cost_block(ql, eob, 0, ctx, self._tc[3])
+                rate_ += bcost[m]
+                err = int(((coefs.astype(np.int64) - ql * dqv) ** 2).sum())
+                rd = self._rdc(rate_, err >> 2)
+                if best is None or rd < best[0]:
+                    best = (rd, m, coefs, ql, eob, rate_, err)
+            _, m, coefs, ql, eob, rate_, err = best
+            # trellis on the chosen block, then decoder-exact recon
+            ql, eob = rdopt.trellis_block(coefs, ql, eob, dq_y1, 3, ctx,
+                                          self._tc, self.rdmult, self.rddiv,
+                                          True)
+            RefDecoder._intra4x4_predict(ws, by, bx, m)
+            if eob:
+                if eob > 1:
+                    refdec.idct4x4_add((ql * dqv.astype(np.int32))
+                                       .astype(np.int16), ws, by, bx)
+                else:
+                    refdec.dc_only_idct_add(
+                        _s16(int(ql[0]) * int(dqv[0]) & 0xFFFF), ws, by, bx)
+            local_bm[i] = m
+            bmodes[i] = m
+            qout[i] = ql
+            eout[i] = eob
+            nz = int(eob != 0)
+            actx[ia] = lctx[il] = nz
+            rate_total += rate_
+            err_total += err
+        if commit:
+            self.rec.y[y0:y0 + 16, x0:x0 + 16] = ws[1:17, 1:21][:, :16]
+        return rate_total, err_total >> 2, qout, eout, bmodes
+
+    def _encode_mb_rd(self, r, c, keyframe, refs):
+        """Token-cost RD mode decision over intra 16x16 / B_PRED / inter
+        NEW/NEAREST/NEAR/ZERO per reference frame (vp8_rd_pick_inter_mode
+        rdopt.c:1714 / vp8_rd_pick_intra_mode rdopt.c:2374 roles)."""
+        b, b2 = BORDER, BORDER // 2
+        y0, x0 = b + r * 16, b + c * 16
+        cy0, cx0 = b2 + r * 8, b2 + c * 8
+        pr, pc = r + 1, c + 1
+        src_y = self.src.y[y0:y0 + 16, x0:x0 + 16].astype(np.int32)
+        src_u = self.src.u[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.int32)
+        src_v = self.src.v[cy0:cy0 + 8, cx0:cx0 + 8].astype(np.int32)
+        up_avail, left_avail = r != 0, c != 0
+        if self.seg_dq is not None:
+            seg = int(self.seg_map_enc[r, c])
+            self.dq_y1, self.dq_y2, self.dq_uv = self.seg_dq[seg]
+        dq_y1, dq_y2, dq_uv = self.dq_y1, self.dq_y2, self.dq_uv
+        qidx = self.qindex
+        if self.seg_dq is not None:
+            qidx = min(127, max(0, self.qindex +
+                                self.seg_q_deltas[int(
+                                    self.seg_map_enc[r, c])]))
+        actx0 = self._actx[c]
+        lctx0 = self._lctx
+        ymode_cost = rdopt.KF_YMODE_COST if keyframe else rdopt.YMODE_COST
+        uv_cost = rdopt.KF_UV_MODE_COST if keyframe else rdopt.UV_MODE_COST
+
+        # ---- intra 16x16 Y ----
+        above = self.rec.y[y0 - 1, x0:x0 + 16].astype(np.int32)
+        left = self.rec.y[y0:y0 + 16, x0 - 1].astype(np.int32)
+        tl = int(self.rec.y[y0 - 1, x0 - 1])
+        best_y16 = None
+        for m in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+            pred = RefDecoder._pred_block_16x16(
+                m, above, left, tl, up_avail, left_avail, 16).astype(np.int32)
+            coeffs, q, eobs, err = self._quant_y16(src_y, pred, dq_y1,
+                                                   dq_y2, qidx)
+            a_, l_ = actx0.copy(), lctx0.copy()
+            rate = ymode_cost[m] + self._cost_y(q, eobs, True, a_, l_)
+            rd = self._rdc(rate, err >> 2)
+            if best_y16 is None or rd < best_y16[0]:
+                best_y16 = (rd, m, pred, coeffs, q, eobs, rate, err >> 2,
+                            a_, l_)
+
+        # ---- B_PRED ----
+        a_, l_ = actx0.copy(), lctx0.copy()
+        bp_rate, bp_dist, bp_q, bp_eobs, bp_modes = self._pick_bpred(
+            r, c, src_y, keyframe, a_, l_, dq_y1, qidx, commit=False)
+        bp_rate += ymode_cost[B_PRED]
+        bp_rd = self._rdc(bp_rate, bp_dist)
+        y_is_bpred = bp_rd < best_y16[0]
+
+        # ---- intra UV ----
+        bu, bv = self.rec.u, self.rec.v
+        best_uv = None
+        for m in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+            pu = RefDecoder._pred_block_16x16(
+                m, bu[cy0 - 1, cx0:cx0 + 8].astype(np.int32),
+                bu[cy0:cy0 + 8, cx0 - 1].astype(np.int32),
+                int(bu[cy0 - 1, cx0 - 1]), up_avail, left_avail, 8) \
+                .astype(np.int32)
+            pv = RefDecoder._pred_block_16x16(
+                m, bv[cy0 - 1, cx0:cx0 + 8].astype(np.int32),
+                bv[cy0:cy0 + 8, cx0 - 1].astype(np.int32),
+                int(bv[cy0 - 1, cx0 - 1]), up_avail, left_avail, 8) \
+                .astype(np.int32)
+            coeffs, q, eobs, err = self._quant_uv(src_u, pu, src_v, pv,
+                                                  dq_uv, qidx)
+            a2, l2 = actx0.copy(), lctx0.copy()
+            rate = uv_cost[m] + self._cost_uv(q, eobs, a2, l2)
+            rd = self._rdc(rate, err >> 2)
+            if best_uv is None or rd < best_uv[0]:
+                best_uv = (rd, m, pu, pv, coeffs, q, eobs, rate, err >> 2)
+
+        if y_is_bpred:
+            intra_rate = bp_rate + best_uv[7]
+            intra_dist = bp_dist + best_uv[8]
+        else:
+            intra_rate = best_y16[6] + best_uv[7]
+            intra_dist = best_y16[7] + best_uv[8]
+        if not keyframe:
+            intra_rate += rdopt.cost0(self.prob_intra)
+        intra_rd = self._rdc(intra_rate, intra_dist)
+
+        # ---- inter ----
+        best_inter = None
+        if not keyframe and refs:
+            near, nearest, best_mv, probs, cnt = self._find_near(r, c)
+            for ref_fb, ref_id in refs:
+                _m, smv, _sc, _sp = self._inter_search(r, c, ref_fb, src_y)
+                # cheap-to-code modes first; duplicates (incl. a NEWMV that
+                # landed on a predictor) keep the cheaper signaling
+                cands = [(ZEROMV, (0, 0)), (NEARESTMV, tuple(nearest)),
+                         (NEARMV, tuple(near)), (NEWMV, tuple(smv))]
+                seen = set()
+                for mode_, mv_ in cands:
+                    if mv_ in seen:
+                        continue
+                    seen.add(mv_)
+                    pred_y = self._mc_block(ref_fb.y, y0, x0,
+                                            mv_[0], mv_[1], 16)
+                    cmv = _uv_mv(mv_)
+                    pred_u = self._mc_block(ref_fb.u, cy0, cx0,
+                                            cmv[0], cmv[1], 8)
+                    pred_v = self._mc_block(ref_fb.v, cy0, cx0,
+                                            cmv[0], cmv[1], 8)
+                    coeffs, q, eobs, erry = self._quant_y16(
+                        src_y, pred_y, dq_y1, dq_y2, qidx)
+                    cuv, quv, euv, erruv = self._quant_uv(
+                        src_u, pred_u, src_v, pred_v, dq_uv, qidx)
+                    a2, l2 = actx0.copy(), lctx0.copy()
+                    rate = rdopt.cost1(self.prob_intra)
+                    if ref_id == LAST_FRAME:
+                        rate += rdopt.cost0(self.prob_last)
+                    else:
+                        rate += rdopt.cost1(self.prob_last) + \
+                            rdopt.cost0(self.prob_gf)
+                    rate += rdopt.mv_ref_cost(mode_, probs)
+                    if mode_ == NEWMV:
+                        rate += rdopt.mv_cost(mv_[0] - best_mv[0],
+                                              mv_[1] - best_mv[1])
+                    rate += self._cost_y(q, eobs, True, a2, l2)
+                    rate += self._cost_uv(quv, euv, a2, l2)
+                    dist = (erry >> 2) + (erruv >> 2)
+                    rd = self._rdc(rate, dist)
+                    if best_inter is None or rd < best_inter[0]:
+                        best_inter = (rd, mode_, mv_, ref_fb, ref_id,
+                                      pred_y, pred_u, pred_v,
+                                      coeffs, q, eobs, cuv, quv, euv)
+
+        # ---- choose + final encode (with trellis) ----
+        if best_inter is not None and best_inter[0] < intra_rd:
+            (_, mode_, mv_, ref_fb, ref_id, pred_y, pred_u, pred_v,
+             coeffs, q, eobs, cuv, quv, euv) = best_inter
+            self.mode[pr, pc] = mode_
+            self.reff[pr, pc] = ref_id
+            self.mv[pr, pc] = mv_
+            self.uvmode[r, c] = DC_PRED
+            self.bmode[pr, pc] = 0
+            self._store_mb(r, c, coeffs, q, eobs, cuv, quv, euv,
+                           dq_y1, dq_y2, dq_uv, intra=False)
+            self._recon_mb(r, c, pred_y, pred_u, pred_v)
+        else:
+            _, uvm, pu, pv, cuv, quv, euv, _, _ = best_uv
+            self.uvmode[r, c] = uvm
+            self.reff[pr, pc] = INTRA_FRAME
+            self.mv[pr, pc] = 0
+            if y_is_bpred:
+                self.mode[pr, pc] = B_PRED
+                a_, l_ = actx0, lctx0  # committed in place by the re-run
+                _, _, bq, beo, bm = self._pick_bpred(
+                    r, c, src_y, keyframe, a_, l_, dq_y1, qidx, commit=True)
+                self.bmode[pr, pc] = bm
+                self.qcoeff[r, c, :16] = bq
+                self.qcoeff[r, c, 16:] = 0
+                self.eobs[r, c, :16] = beo
+                self.eobs[r, c, 16:] = 0
+                # chroma: trellis + store + recon (luma already in rec)
+                quv2, euv2 = self._trellis_uv(cuv, quv, euv, dq_uv, True,
+                                              actx0, lctx0)
+                self.qcoeff[r, c, 16:24] = quv2
+                self.eobs[r, c, 16:24] = euv2
+                self._recon_uv(r, c, pu, pv)
+                self.rec.extend_mb_row(r)
+                return
+            _, m, pred, coeffs, q, eobs, _, _, _, _ = best_y16
+            self.mode[pr, pc] = m
+            self.bmode[pr, pc] = 0
+            self._store_mb(r, c, coeffs, q, eobs, cuv, quv, euv,
+                           dq_y1, dq_y2, dq_uv, intra=True)
+            self._recon_mb(r, c, pred, pu, pv)
+
+    def _trellis_uv(self, cuv, quv, euv, dq_uv, intra, actx, lctx):
+        qo = np.zeros_like(quv)
+        eo = np.zeros_like(euv)
+        for j in range(8):
+            i = 16 + j
+            ia, il = BLOCK2ABOVE[i], BLOCK2LEFT[i]
+            ctx = int(actx[ia] + lctx[il])
+            qo[j], eo[j] = rdopt.trellis_block(
+                cuv[j], quv[j], int(euv[j]), dq_uv, 2, ctx, self._tc,
+                self.rdmult, self.rddiv, intra)
+            actx[ia] = lctx[il] = int(eo[j] != 0)
+        return qo, eo
+
+    def _store_mb(self, r, c, coeffs, q, eobs, cuv, quv, euv,
+                  dq_y1, dq_y2, dq_uv, intra):
+        """Trellis-optimize the chosen coefficients and store them,
+        committing the entropy-context mirror (vp8_optimize_mb role)."""
+        actx, lctx = self._actx[c], self._lctx
+        # Y2 then Y (independent context chains)
+        ctx = int(actx[8] + lctx[8])
+        q2, e2 = rdopt.trellis_block(coeffs[16], q[16], int(eobs[16]),
+                                     dq_y2, 1, ctx, self._tc,
+                                     self.rdmult, self.rddiv, intra)
+        self.qcoeff[r, c, 24] = q2
+        self.eobs[r, c, 24] = e2
+        actx[8] = lctx[8] = int(e2 != 0)
+        for i in range(16):
+            ia, il = BLOCK2ABOVE[i], BLOCK2LEFT[i]
+            ctx = int(actx[ia] + lctx[il])
+            qi, ei = rdopt.trellis_block(coeffs[i], q[i], int(eobs[i]),
+                                         dq_y1, 0, ctx, self._tc,
+                                         self.rdmult, self.rddiv, intra)
+            self.qcoeff[r, c, i] = qi
+            self.eobs[r, c, i] = max(ei, 1)
+            actx[ia] = lctx[il] = int(ei != 1)
+        quv2, euv2 = self._trellis_uv(cuv, quv, euv, dq_uv, intra,
+                                      actx, lctx)
+        self.qcoeff[r, c, 16:24] = quv2
+        self.eobs[r, c, 16:24] = euv2
+
+    def _recon_uv(self, r, c, pred_u, pred_v):
+        """Chroma half of _recon_mb (for B_PRED MBs whose luma recon
+        happens inside _pick_bpred)."""
+        b2 = BORDER // 2
+        cy0, cx0 = b2 + r * 8, b2 + c * 8
+        self.rec.u[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(pred_u, 0, 255)
+        self.rec.v[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(pred_v, 0, 255)
+        q = self.qcoeff[r, c]
+        eobs = self.eobs[r, c]
+        dquv = np.array([self.dq_uv[0]] + [self.dq_uv[1]] * 15, np.int32)
+        for i in range(16, 24):
+            pl = self.rec.u if i < 20 else self.rec.v
+            j = i - 16 if i < 20 else i - 20
+            by = cy0 + (j >> 1) * 4
+            bx = cx0 + (j & 1) * 4
+            if eobs[i] > 1:
+                refdec.idct4x4_add((q[i] * dquv).astype(np.int16),
+                                   pl, by, bx)
+            elif eobs[i]:
+                refdec.dc_only_idct_add(
+                    _s16(int(q[i, 0]) * int(dquv[0]) & 0xFFFF), pl, by, bx)
 
     def _recon_mb(self, r, c, pred_y, pred_u, pred_v):
         b, b2 = BORDER, BORDER // 2
@@ -708,7 +1186,15 @@ class Encoder:
         if keyframe:
             e.write_tree(T.KF_YMODE_TREE.tolist(), T.KF_YMODE_PROB.tolist(),
                          mode)
-            assert mode != B_PRED
+            if mode == B_PRED:
+                # write_kfmodes dual (bitstream.c:1103-1160): per-subblock
+                # bmode trees with above/left bmode context
+                tree = T.BMODE_TREE.tolist()
+                for i in range(16):
+                    a = self._above_bmode(pr, pc, i)
+                    l = self._left_bmode(pr, pc, i)
+                    e.write_tree(tree, T.KF_BMODE_PROB[a][l].tolist(),
+                                 int(self.bmode[pr, pc, i]))
             e.write_tree(T.UV_MODE_TREE.tolist(), T.KF_UV_MODE_PROB.tolist(),
                          int(self.uvmode[r, c]))
             return
@@ -716,7 +1202,11 @@ class Encoder:
         e.write(1 if is_inter else 0, self.prob_intra)
         if not is_inter:
             e.write_tree(T.YMODE_TREE.tolist(), T.YMODE_PROB.tolist(), mode)
-            assert mode != B_PRED
+            if mode == B_PRED:
+                tree = T.BMODE_TREE.tolist()
+                for i in range(16):
+                    e.write_tree(tree, T.BMODE_PROB.tolist(),
+                                 int(self.bmode[pr, pc, i]))
             e.write_tree(T.UV_MODE_TREE.tolist(), T.UV_MODE_PROB.tolist(),
                          int(self.uvmode[r, c]))
             return
