@@ -227,7 +227,84 @@ class Encoder:
     def filter_level(self):
         if self.fixed_filter is not None:
             return self.fixed_filter
+        if getattr(self, "_picked_level", None) is not None:
+            return self._picked_level
         return min(63, max(1, self.qindex // 4 + 2))
+
+    # ------------------------------------------------------------------
+    # loop-filter level search (vp8cx_pick_filter_level, picklpf.c:261)
+
+    def _lf_sse(self, level, keyframe, row0, rows):
+        """Luma SSE between the source and the reconstruction filtered at
+        `level`, over a partial band of MB rows (the partial-frame probe of
+        vp8_loop_filter_partial_frame, picklpf.c:26-88)."""
+        if level == 0:
+            fy = self.rec.y
+        else:
+            fb = type("FB", (), {})()
+            fb.y = self.rec.y.copy()
+            fb.u = self.rec.u.copy()
+            fb.v = self.rec.v.copy()
+            shim = type("LF", (), {
+                "_lf_limits": RefDecoder._lf_limits,
+                "_lf_levels": RefDecoder._lf_levels,
+                "_hev_threshold": RefDecoder._hev_threshold,
+                "_MODE_LF_LUT": RefDecoder._MODE_LF_LUT,
+                "_loop_filter_frame": RefDecoder._loop_filter_frame})()
+            shim.mb_rows = row0 + rows
+            shim.mb_cols = self.C
+            shim.filter_level = level
+            shim.sharpness = 0
+            shim.frame_type = 0 if keyframe else 1
+            shim.segmentation_enabled = self.seg_map_enc is not None
+            shim.mb_segment_abs_delta = 0
+            sfd = np.zeros((2, 4), np.int32)
+            sfd[1] = self.seg_lf_deltas
+            shim.segment_feature_data = sfd
+            shim.lf_delta_enabled = 0
+            shim.seg_map = self.seg_map_enc if self.seg_map_enc is not None \
+                else np.zeros((self.R, self.C), np.int32)
+            shim.mode = self.mode
+            shim.ref_frame = self.reff
+            shim.skip = self.skip
+            shim.frame_to_show = fb
+            # reuse the golden LF verbatim (bit-exact vs vpxdec)
+            shim._loop_filter_frame(row_start=row0)
+            fy = fb.y
+        b = BORDER
+        y0 = b + row0 * 16
+        y1 = b + (row0 + rows) * 16
+        src = self.src.y[y0:y1, b:b + self.C * 16].astype(np.int64)
+        rec = fy[y0:y1, b:b + self.C * 16].astype(np.int64)
+        return int(((src - rec) ** 2).sum())
+
+    def _pick_filter_level(self, keyframe):
+        """Coarse-to-fine level search on a middle band of the frame
+        (picklpf.c:261-395 behavior: start from the previous level, halve
+        the step while the partial-frame SSE improves)."""
+        rows = max(2, self.R // 3)
+        row0 = max(0, (self.R - rows) // 2)
+        last = getattr(self, "_picked_level", None)
+        mid = last if last is not None else min(63, max(1,
+                                                        self.qindex // 4 + 2))
+        cache = {}
+
+        def sse(lv):
+            lv = min(63, max(0, lv))
+            if lv not in cache:
+                cache[lv] = self._lf_sse(lv, keyframe, row0, rows)
+            return cache[lv]
+
+        best = mid
+        step = 4 if mid < 16 else mid // 4
+        while step >= 1:
+            for cand in (best - step, best + step):
+                cand = min(63, max(0, cand))
+                if sse(cand) < sse(best):
+                    best = cand
+            step //= 2
+        self._picked_level = max(1, best)
+        return self._picked_level
 
     # ------------------------------------------------------------------
     def encode_frame(self, y, u, v, keyframe=None, refresh_last=True,
@@ -283,6 +360,8 @@ class Encoder:
         self.reff = np.zeros((R + 1, C + 1), np.int32)
         self.mv = np.zeros((R + 1, C + 1, 2), np.int32)
         self.bmode = np.zeros((R + 1, C + 1, 16), np.int32)
+        self.bmv = np.zeros((R + 1, C + 1, 16, 2), np.int32)
+        self.split_part = np.zeros((R, C), np.int32)
         self.qcoeff = np.zeros((R, C, 25, 16), np.int32)
         self.eobs = np.zeros((R, C, 25), np.int32)
         # RD state: lambda (vp8_initialize_rd_consts), frame token-cost
@@ -526,6 +605,20 @@ class Encoder:
             return refdec.MODE_TO_BMODE.get(m, 0)
         return int(self.bmode[pr, pc, b - 4])
 
+    def _above_bmv(self, pr, pc, b):
+        if b < 4:
+            if self.mode[pr - 1, pc] != SPLITMV:
+                return tuple(self.mv[pr - 1, pc])
+            return tuple(self.bmv[pr - 1, pc, b + 12])
+        return tuple(self.bmv[pr, pc, b - 4])
+
+    def _left_bmv(self, pr, pc, b):
+        if b % 4 == 0:
+            if self.mode[pr, pc - 1] != SPLITMV:
+                return tuple(self.mv[pr, pc - 1])
+            return tuple(self.bmv[pr, pc - 1, b + 3])
+        return tuple(self.bmv[pr, pc, b - 1])
+
     def _left_bmode(self, pr, pc, b):
         if b % 4 == 0:
             m = int(self.mode[pr, pc - 1])
@@ -734,6 +827,30 @@ class Encoder:
                         best_inter = (rd, mode_, mv_, ref_fb, ref_id,
                                       pred_y, pred_u, pred_v,
                                       coeffs, q, eobs, cuv, quv, euv)
+                if ref_id != LAST_FRAME:
+                    continue
+                # SPLITMV candidate (8x8 partitioning) on LAST
+                bmv16 = self._split_search(r, c, ref_fb, src_y, smv,
+                                           best_mv)
+                if len({tuple(v) for v in bmv16}) > 1:
+                    pred_y, pred_u, pred_v = self._split_pred(
+                        r, c, ref_fb, bmv16)
+                    coeffs, q, eobs, erry = self._quant_y_nodc(
+                        src_y, pred_y, dq_y1, qidx)
+                    cuv, quv, euv, erruv = self._quant_uv(
+                        src_u, pred_u, src_v, pred_v, dq_uv, qidx)
+                    a2, l2 = actx0.copy(), lctx0.copy()
+                    rate = rdopt.cost1(self.prob_intra) + \
+                        rdopt.cost0(self.prob_last)
+                    rate += self._split_rate_mv(r, c, bmv16, best_mv, probs)
+                    rate += self._cost_y(q, eobs, False, a2, l2)
+                    rate += self._cost_uv(quv, euv, a2, l2)
+                    dist = (erry >> 2) + (erruv >> 2)
+                    rd = self._rdc(rate, dist)
+                    if best_inter is None or rd < best_inter[0]:
+                        best_inter = (rd, SPLITMV, bmv16, ref_fb, ref_id,
+                                      pred_y, pred_u, pred_v,
+                                      coeffs, q, eobs, cuv, quv, euv)
 
         # ---- choose + final encode (with trellis) ----
         if best_inter is not None and best_inter[0] < intra_rd:
@@ -741,12 +858,21 @@ class Encoder:
              coeffs, q, eobs, cuv, quv, euv) = best_inter
             self.mode[pr, pc] = mode_
             self.reff[pr, pc] = ref_id
-            self.mv[pr, pc] = mv_
             self.uvmode[r, c] = DC_PRED
             self.bmode[pr, pc] = 0
-            self._store_mb(r, c, coeffs, q, eobs, cuv, quv, euv,
-                           dq_y1, dq_y2, dq_uv, intra=False)
-            self._recon_mb(r, c, pred_y, pred_u, pred_v)
+            if mode_ == SPLITMV:
+                bmv16 = mv_
+                self.bmv[pr, pc] = bmv16
+                self.split_part[r, c] = 2
+                self.mv[pr, pc] = bmv16[15]
+                self._store_mb_nodc(r, c, coeffs, q, eobs, cuv, quv, euv,
+                                    dq_y1, dq_uv)
+                self._recon_mb(r, c, pred_y, pred_u, pred_v, has_y2=False)
+            else:
+                self.mv[pr, pc] = mv_
+                self._store_mb(r, c, coeffs, q, eobs, cuv, quv, euv,
+                               dq_y1, dq_y2, dq_uv, intra=False)
+                self._recon_mb(r, c, pred_y, pred_u, pred_v)
         else:
             _, uvm, pu, pv, cuv, quv, euv, _, _ = best_uv
             self.uvmode[r, c] = uvm
@@ -776,6 +902,141 @@ class Encoder:
             self._store_mb(r, c, coeffs, q, eobs, cuv, quv, euv,
                            dq_y1, dq_y2, dq_uv, intra=True)
             self._recon_mb(r, c, pred, pu, pv)
+
+    def _quant_y_nodc(self, src_y, pred_y, dq_y1, qidx):
+        """FDCT + regular quant of 16 Y blocks WITHOUT a second-order pass
+        (SPLITMV / B_PRED token layout: btype 3, DC in-band)."""
+        resid = src_y - pred_y
+        coeffs = np.zeros((16, 16), np.int32)
+        q = np.zeros((16, 16), np.int32)
+        eobs = np.zeros(16, np.int32)
+        dqv = np.array([dq_y1[0]] + [dq_y1[1]] * 15, np.int64)
+        err = 0
+        for i in range(16):
+            by, bx = (i >> 2) * 4, (i & 3) * 4
+            coeffs[i] = fdct4x4(resid[by:by + 4, bx:bx + 4])
+            q[i], eobs[i] = regular_quant(coeffs[i], dq_y1, qidx)
+            err += int(((coeffs[i].astype(np.int64) - q[i] * dqv) ** 2)
+                       .sum())
+        return coeffs, q, eobs, err
+
+    def _split_pred(self, r, c, ref_fb, bmv16):
+        """Decoder-exact SPLITMV prediction: per-4x4 luma tiles + derived
+        per-quad chroma MVs (reconinter.c:449-525, toward-zero averaging
+        reconinter.c:418-424)."""
+        b, b2 = BORDER, BORDER // 2
+        y0, x0 = b + r * 16, b + c * 16
+        cy0, cx0 = b2 + r * 8, b2 + c * 8
+        pred_y = np.zeros((16, 16), np.int32)
+        for i in range(16):
+            by, bx = (i >> 2) * 4, (i & 3) * 4
+            mv = bmv16[i]
+            pred_y[by:by + 4, bx:bx + 4] = self._mc_block(
+                ref_fb.y, y0 + by, x0 + bx, int(mv[0]), int(mv[1]), 4)
+        pred_u = np.zeros((8, 8), np.int32)
+        pred_v = np.zeros((8, 8), np.int32)
+        for i in range(2):
+            for jq in range(2):
+                yoffs = i * 8 + jq * 2
+                tr = sum(int(bmv16[yoffs + k][0]) for k in (0, 1, 4, 5))
+                tc = sum(int(bmv16[yoffs + k][1]) for k in (0, 1, 4, 5))
+                tr = tr + 4 + (-8 if tr < 0 else 0)
+                tc = tc + 4 + (-8 if tc < 0 else 0)
+                mr = _s16((tr // 8 if tr >= 0 else -((-tr) // 8)) & 0xFFFF)
+                mc2 = _s16((tc // 8 if tc >= 0 else -((-tc) // 8)) & 0xFFFF)
+                qy, qx = i * 4, jq * 4
+                pred_u[qy:qy + 4, qx:qx + 4] = self._mc_block(
+                    ref_fb.u, cy0 + qy, cx0 + qx, mr, mc2, 4)
+                pred_v[qy:qy + 4, qx:qx + 4] = self._mc_block(
+                    ref_fb.v, cy0 + qy, cx0 + qx, mr, mc2, 4)
+        return pred_y, pred_u, pred_v
+
+    def _split_search(self, r, c, ref_fb, src_y, seed_mv, best_mv):
+        """8x8-partition sub-block motion search (the SPLITMV encode role of
+        vp8_rd_pick_best_mbsegmentation, rdopt.c:1318; 8x8 partitioning
+        only — the dominant split in practice)."""
+        R, C = self.R, self.C
+        b = BORDER
+        y0, x0 = b + r * 16, b + c * 16
+        lo_r = max(-(r * 16) - 16, (seed_mv[0] >> 3) - 8)
+        hi_r = min((R - 1 - r) * 16 + 16, (seed_mv[0] >> 3) + 8)
+        lo_c = max(-(c * 16) - 16, (seed_mv[1] >> 3) - 8)
+        hi_c = min((C - 1 - c) * 16 + 16, (seed_mv[1] >> 3) + 8)
+        bmv16 = np.zeros((16, 2), np.int32)
+        epb = self.errorperbit
+        for k in refdec.MBSPLIT_OFFSET[2]:        # [0, 2, 8, 10]
+            br, bc_ = (k >> 2) * 4, (k & 3) * 4
+            sb = src_y[br:br + 8, bc_:bc_ + 8]
+            refy = ref_fb.y
+            bestc, bdy, bdx = 1 << 60, seed_mv[0] >> 3, seed_mv[1] >> 3
+            for dy in range(lo_r, hi_r + 1):
+                for dx in range(lo_c, hi_c + 1):
+                    blk = refy[y0 + br + dy:y0 + br + dy + 8,
+                               x0 + bc_ + dx:x0 + bc_ + dx + 8]
+                    sad = int(np.abs(sb - blk.astype(np.int32)).sum())
+                    cost = sad + ((rdopt.mv_cost(dy * 8 - best_mv[0],
+                                                 dx * 8 - best_mv[1])
+                                   * epb + 128) >> 8)
+                    if cost < bestc:
+                        bestc, bdy, bdx = cost, dy, dx
+            bmv = (bdy * 8, bdx * 8)
+            for sub in (4, 2):
+                improved = True
+                while improved:
+                    improved = False
+                    for ddy, ddx in ((-sub, 0), (sub, 0), (0, -sub),
+                                     (0, sub)):
+                        cand = (bmv[0] + ddy, bmv[1] + ddx)
+                        if not (lo_r * 8 <= cand[0] <= hi_r * 8 and
+                                lo_c * 8 <= cand[1] <= hi_c * 8):
+                            continue
+                        pred = self._mc_block(refy, y0 + br, x0 + bc_,
+                                              cand[0], cand[1], 8)
+                        cost = int(np.abs(sb - pred).sum()) + \
+                            ((rdopt.mv_cost(cand[0] - best_mv[0],
+                                            cand[1] - best_mv[1])
+                              * epb + 128) >> 8)
+                        if cost < bestc:
+                            bestc, bmv = cost, cand
+                            improved = True
+            fills = refdec.MBSPLIT_FILL_OFFSET[2]
+            j = refdec.MBSPLIT_OFFSET[2].index(k)
+            fc_n = refdec.MBSPLIT_FILL_COUNT[2]
+            for fo in fills[j * fc_n:(j + 1) * fc_n]:
+                bmv16[fo] = bmv
+        return bmv16
+
+    def _split_rate_mv(self, r, c, bmv16, best_mv, probs):
+        """Signaling rate of a SPLITMV candidate (8x8 partitioning),
+        filling self.bmv[pr,pc] progressively for the sub_mv_ref context."""
+        pr, pc = r + 1, c + 1
+        rate = rdopt.mv_ref_cost(SPLITMV, probs)
+        rate += rdopt.cost1(110) + rdopt.cost0(111)     # mbsplit tree s=2
+        fills = refdec.MBSPLIT_FILL_OFFSET[2]
+        fc_n = refdec.MBSPLIT_FILL_COUNT[2]
+        for j, k in enumerate(refdec.MBSPLIT_OFFSET[2]):
+            blockmv = tuple(bmv16[k])
+            leftmv = self._left_bmv(pr, pc, k)
+            abovemv = self._above_bmv(pr, pc, k)
+            lez = leftmv == (0, 0)
+            aez = abovemv == (0, 0)
+            lea = leftmv == abovemv
+            prob = refdec.SUB_MV_REF_PROB3[(aez << 2) | (lez << 1) | lea]
+            if blockmv == leftmv:
+                rate += rdopt.cost0(prob[0])
+            elif blockmv == abovemv:
+                rate += rdopt.cost1(prob[0]) + rdopt.cost0(prob[1])
+            elif blockmv == (0, 0):
+                rate += rdopt.cost1(prob[0]) + rdopt.cost1(prob[1]) + \
+                    rdopt.cost0(prob[2])
+            else:
+                rate += rdopt.cost1(prob[0]) + rdopt.cost1(prob[1]) + \
+                    rdopt.cost1(prob[2]) + \
+                    rdopt.mv_cost(blockmv[0] - best_mv[0],
+                                  blockmv[1] - best_mv[1], 128)
+            for fo in fills[j * fc_n:(j + 1) * fc_n]:
+                self.bmv[pr, pc, fo] = blockmv
+        return rate
 
     def _trellis_uv(self, cuv, quv, euv, dq_uv, intra, actx, lctx):
         qo = np.zeros_like(quv)
@@ -817,6 +1078,26 @@ class Encoder:
         self.qcoeff[r, c, 16:24] = quv2
         self.eobs[r, c, 16:24] = euv2
 
+    def _store_mb_nodc(self, r, c, coeffs, q, eobs, cuv, quv, euv,
+                       dq_y1, dq_uv):
+        """Trellis + store for SPLITMV MBs (btype 3, no second order)."""
+        actx, lctx = self._actx[c], self._lctx
+        self.qcoeff[r, c, 24] = 0
+        self.eobs[r, c, 24] = 0
+        for i in range(16):
+            ia, il = BLOCK2ABOVE[i], BLOCK2LEFT[i]
+            ctx = int(actx[ia] + lctx[il])
+            qi, ei = rdopt.trellis_block(coeffs[i], q[i], int(eobs[i]),
+                                         dq_y1, 3, ctx, self._tc,
+                                         self.rdmult, self.rddiv, False)
+            self.qcoeff[r, c, i] = qi
+            self.eobs[r, c, i] = ei
+            actx[ia] = lctx[il] = int(ei != 0)
+        quv2, euv2 = self._trellis_uv(cuv, quv, euv, dq_uv, False,
+                                      actx, lctx)
+        self.qcoeff[r, c, 16:24] = quv2
+        self.eobs[r, c, 16:24] = euv2
+
     def _recon_uv(self, r, c, pred_u, pred_v):
         """Chroma half of _recon_mb (for B_PRED MBs whose luma recon
         happens inside _pick_bpred)."""
@@ -839,7 +1120,7 @@ class Encoder:
                 refdec.dc_only_idct_add(
                     _s16(int(q[i, 0]) * int(dquv[0]) & 0xFFFF), pl, by, bx)
 
-    def _recon_mb(self, r, c, pred_y, pred_u, pred_v):
+    def _recon_mb(self, r, c, pred_y, pred_u, pred_v, has_y2=True):
         b, b2 = BORDER, BORDER // 2
         y0, x0 = b + r * 16, b + c * 16
         cy0, cx0 = b2 + r * 8, b2 + c * 8
@@ -848,23 +1129,29 @@ class Encoder:
         self.rec.v[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(pred_v, 0, 255)
         q = self.qcoeff[r, c].copy()
         eobs = self.eobs[r, c]
-        dqy2v = np.array([self.dq_y2[0]] + [self.dq_y2[1]] * 15, np.int32)
-        if eobs[24] > 1:
-            dcs = refdec.inv_walsh((q[24] * dqy2v).astype(np.int16))
+        if has_y2:
+            dqy2v = np.array([self.dq_y2[0]] + [self.dq_y2[1]] * 15,
+                             np.int32)
+            if eobs[24] > 1:
+                dcs = refdec.inv_walsh((q[24] * dqy2v).astype(np.int16))
+            else:
+                dc0 = _s16(int(q[24, 0]) * self.dq_y2[0] & 0xFFFF)
+                dcs = [_s16(((dc0 + 3) >> 3) & 0xFFFF)] * 16
+            dqv = np.array([1] + [self.dq_y1[1]] * 15, np.int32)
         else:
-            dc0 = _s16(int(q[24, 0]) * self.dq_y2[0] & 0xFFFF)
-            dcs = [_s16(((dc0 + 3) >> 3) & 0xFFFF)] * 16
-        dqv = np.array([1] + [self.dq_y1[1]] * 15, np.int32)
+            dqv = np.array([self.dq_y1[0]] + [self.dq_y1[1]] * 15, np.int32)
         for i in range(16):
             by, bx = y0 + (i >> 2) * 4, x0 + (i & 3) * 4
             qb = q[i].copy()
-            qb[0] = dcs[i]
+            if has_y2:
+                qb[0] = dcs[i]
             if eobs[i] > 1:
                 refdec.idct4x4_add((qb * dqv).astype(np.int16),
                                    self.rec.y, by, bx)
-            else:
+            elif eobs[i] or has_y2:
                 refdec.dc_only_idct_add(
-                    _s16(int(qb[0]) & 0xFFFF), self.rec.y, by, bx)
+                    _s16(int(qb[0]) * int(dqv[0]) & 0xFFFF),
+                    self.rec.y, by, bx)
         dquv = np.array([self.dq_uv[0]] + [self.dq_uv[1]] * 15, np.int32)
         for i in range(16, 24):
             pl = self.rec.u if i < 20 else self.rec.v
@@ -1228,13 +1515,46 @@ class Encoder:
             e.write(1, probs[0])
             e.write(1, probs[1])
             e.write(0, probs[2])
-        else:  # NEWMV
+        elif mode == NEWMV:
             e.write(1, probs[0])
             e.write(1, probs[1])
             e.write(1, probs[2])
             e.write(0, probs[3])
             self._write_mv(e, mv[0] - best[0], 0)
             self._write_mv(e, mv[1] - best[1], 1)
+        else:  # SPLITMV (decode_split_mv dual, decodemv.c:250-318)
+            e.write(1, probs[0])
+            e.write(1, probs[1])
+            e.write(1, probs[2])
+            e.write(1, probs[3])
+            s_ = int(self.split_part[r, c])
+            e.write_tree(T.MBSPLIT_TREE.tolist(), T.MBSPLIT_PROBS.tolist(),
+                         s_)
+            num_p = int(T.MBSPLIT_COUNT[s_])
+            for j in range(num_p):
+                k = refdec.MBSPLIT_OFFSET[s_][j]
+                blockmv = tuple(self.bmv[pr, pc, k])
+                leftmv = self._left_bmv(pr, pc, k)
+                abovemv = self._above_bmv(pr, pc, k)
+                lez = leftmv == (0, 0)
+                aez = abovemv == (0, 0)
+                lea = leftmv == abovemv
+                prob = refdec.SUB_MV_REF_PROB3[(aez << 2) | (lez << 1) | lea]
+                if blockmv == leftmv:
+                    e.write(0, prob[0])
+                elif blockmv == abovemv:
+                    e.write(1, prob[0])
+                    e.write(0, prob[1])
+                elif blockmv == (0, 0):
+                    e.write(1, prob[0])
+                    e.write(1, prob[1])
+                    e.write(0, prob[2])
+                else:
+                    e.write(1, prob[0])
+                    e.write(1, prob[1])
+                    e.write(1, prob[2])
+                    self._write_mv(e, blockmv[0] - best[0], 0)
+                    self._write_mv(e, blockmv[1] - best[1], 1)
 
     def _write_mv(self, e, delta, comp):
         """Dual of read_mvcomponent (decodemv.c:76-107); delta in 1/8 units
