@@ -262,6 +262,7 @@ class Encoder:
             sfd[1] = self.seg_lf_deltas
             shim.segment_feature_data = sfd
             shim.lf_delta_enabled = 0
+            shim.simple_filter = 0
             shim.seg_map = self.seg_map_enc if self.seg_map_enc is not None \
                 else np.zeros((self.R, self.C), np.int32)
             shim.mode = self.mode
@@ -404,6 +405,11 @@ class Encoder:
                         self.skip[r, c] = int(total == 0)
                     else:
                         self.skip[r, c] = int(e[:24].sum() == 0)
+
+        # in-encoder loop-filter level search (vp8cx_pick_filter_level,
+        # picklpf.c:261) — only when the caller didn't pin a level
+        if self.fixed_filter is None:
+            self._pick_filter_level(keyframe)
 
         payload = self._pack(keyframe)
         # closed loop: advance reference state through our decoder

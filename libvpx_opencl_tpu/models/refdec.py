@@ -1578,8 +1578,10 @@ class RefDecoder:
             return 1
         return 0
 
-    def _loop_filter_frame(self):
-        """vp8_loop_filter_frame (loopfilter.c:203-330)."""
+    def _loop_filter_frame(self, row_start=0):
+        """vp8_loop_filter_frame (loopfilter.c:203-330). row_start>0 gives
+        the encoder's partial-frame probe band (vp8_loop_filter_partial_frame,
+        picklpf.c:26-88)."""
         lim, blim, mblim = self._lf_limits()
         lvl = self._lf_levels()
         fb = self.frame_to_show
@@ -1587,7 +1589,7 @@ class RefDecoder:
         eu = _EdgeFilter(fb.u)
         ev = _EdgeFilter(fb.v)
         b, b2 = BORDER, BORDER // 2
-        for r in range(self.mb_rows):
+        for r in range(row_start, self.mb_rows):
             for c in range(self.mb_cols):
                 pr, pc = r + 1, c + 1
                 mode = int(self.mode[pr, pc])

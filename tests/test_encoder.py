@@ -80,3 +80,33 @@ def test_reference_vpxdec_accepts_our_stream(tmp_path):
     assert r.returncode == 0, r.stderr
     ref = [l.split()[0] for l in r.stdout.splitlines() if l.strip()]
     assert ref == ours
+
+
+def test_splitmv_and_picklpf_roundtrip():
+    """SPLITMV encode (rdopt.c:1318 role) + in-encoder LF level search
+    (picklpf.c:261 role): divergent intra-MB motion must select SPLITMV,
+    and the picked filter level must survive the closed decode loop."""
+    rng = np.random.RandomState(1)
+    base = (rng.randint(0, 255, (160, 176)) // 2 + 60).astype(np.uint8)
+
+    def frame(t):
+        y = np.empty((144, 176), np.uint8)
+        y[:72] = base[8 - t:8 - t + 72, :]
+        y[72:] = base[8 + t:8 + t + 72, :]
+        u = np.full((72, 88), 128, np.uint8)
+        return y, u, u.copy()
+
+    from libvpx_opencl_tpu.models.refdec import SPLITMV
+    enc = Encoder(176, 144, qindex=50)
+    dec = type("D", (RefDecoder,), {"use_native": True})()
+    splits = 0
+    for t in range(3):
+        y, u, v = frame(t)
+        payload = enc.encode_frame(y, u, v)
+        show, (dy, du, dv) = dec.decode_frame(payload)
+        splits += int((enc.mode == SPLITMV).sum())
+        assert psnr(y, dy) > 29.0
+    assert splits > 0, "divergent-motion clip never chose SPLITMV"
+    assert enc.filter_level == enc._picked_level  # picklpf was in charge
+    ey, _, _ = enc.dec.frame_to_show.visible()
+    assert np.array_equal(ey, dy)
