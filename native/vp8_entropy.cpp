@@ -560,4 +560,69 @@ int vp8e_detokenize(
   return 0;
 }
 
+// Coefficient upload packing (the host half of the framework's compacted
+// nibble transfer, see tpu_decoder._prep_arrays): scan the dense qcoeff
+// [nblocks, 16] i16 array, nibble-pack levels (+8 bias, 4 bits per coeff)
+// and record every out-of-range level as an (idx, value) escape.
+//
+// Two formats, chosen by the non-zero-block count K vs dense_threshold:
+//   compact (K < threshold): only non-zero blocks are packed; nz_idx[k]
+//     holds the source block of packed row k and escape indices address the
+//     compacted row space (row_in_sel * 16 + coeff), matching the device
+//     scatter in tpu_decoder._unpack_nibbles.
+//   dense (K >= threshold): all rows packed in order, escapes address the
+//     full row space; nz_idx is untouched.
+//
+// out_counts = {K_or_nblocks, E, is_dense}.  Caller guarantees nz_idx/nib
+// have capacity nblocks rows and esc_* have capacity esc_cap; overflow
+// aborts with return 1 (cannot happen with esc_cap = 16*nblocks).
+int vp8e_pack_coeffs(const int16_t* qcoeff, int64_t nblocks,
+                     int64_t dense_threshold,
+                     int32_t* nz_idx, uint8_t* nib,
+                     int32_t* esc_idx, int16_t* esc_val, int64_t esc_cap,
+                     int64_t* out_counts) {
+  int64_t K = 0;
+  for (int64_t b = 0; b < nblocks; b++) {
+    const uint64_t* w = reinterpret_cast<const uint64_t*>(qcoeff + b * 16);
+    K += (w[0] | w[1] | w[2] | w[3]) != 0;
+  }
+  const bool dense = K >= dense_threshold;
+  int64_t row = 0, E = 0;
+  for (int64_t b = 0; b < nblocks; b++) {
+    const uint64_t* w = reinterpret_cast<const uint64_t*>(qcoeff + b * 16);
+    const bool nz = (w[0] | w[1] | w[2] | w[3]) != 0;
+    if (!dense && !nz) continue;
+    const int16_t* q = qcoeff + b * 16;
+    uint8_t* out = nib + row * 8;
+    if (!nz) {
+      std::memset(out, 0x88, 8);  // all-zero levels, biased
+      row++;
+      continue;
+    }
+    for (int i = 0; i < 8; i++) {
+      int lo = q[2 * i], hi = q[2 * i + 1];
+      int nlo = lo + 8, nhi = hi + 8;
+      if ((unsigned)nlo > 15u) {
+        if (E >= esc_cap) return 1;
+        esc_idx[E] = (int32_t)(row * 16 + 2 * i);
+        esc_val[E++] = (int16_t)lo;
+        nlo = lo < -8 ? 0 : 15;
+      }
+      if ((unsigned)nhi > 15u) {
+        if (E >= esc_cap) return 1;
+        esc_idx[E] = (int32_t)(row * 16 + 2 * i + 1);
+        esc_val[E++] = (int16_t)hi;
+        nhi = hi < -8 ? 0 : 15;
+      }
+      out[i] = (uint8_t)(nlo | (nhi << 4));
+    }
+    if (!dense) nz_idx[row] = (int32_t)b;
+    row++;
+  }
+  out_counts[0] = row;
+  out_counts[1] = E;
+  out_counts[2] = dense;
+  return 0;
+}
+
 }  // extern "C"
