@@ -114,6 +114,33 @@ def _residuals_compact(qc_vals, qc_idx, escb, u8b, i16b):
     return _residual_core(dense.reshape(N, 25, 16), u8b, i16b)
 
 
+@jax.jit
+def _residuals_bitmap(qc_vals, qc_bm, escb, u8b, i16b):
+    """Coefficients arrive block-compacted with the block->row mapping as a
+    BITMAP (bit b set when block b is non-zero): the row index of each
+    non-zero block is its rank, rebuilt here with a cumulative sum, so the
+    wire cost is 1 bit per block instead of a 4-byte index per row (the
+    host->TPU tunnel is this deployment's bottleneck)."""
+    N = u8b.shape[1]
+    cap = N * 25
+    Kp = qc_vals.shape[0]
+    vals = _unpack_nibbles(qc_vals, escb)
+    vals = jnp.concatenate([vals, jnp.zeros((1, 16), jnp.int16)])
+    bits = jnp.unpackbits(qc_bm, bitorder="little")[:cap].astype(jnp.int32)
+    pos = jnp.cumsum(bits) - 1
+    rowidx = jnp.where(bits == 1, jnp.minimum(pos, Kp - 1), Kp)
+    dense = jnp.take(vals, rowidx, axis=0)
+    return _residual_core(dense.reshape(N, 25, 16), u8b, i16b)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _expand_bmodes(N, b_idx, b_rows):
+    """Scatter bucket-compacted B_PRED sub-block modes back to [N, 16]
+    (padding entries carry index N and are dropped)."""
+    full = jnp.zeros((N, 16), jnp.uint8)
+    return full.at[b_idx].set(b_rows, mode="drop", unique_indices=True)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _mc_dense_device(R, C, ref_y, ref_u, ref_v, u8b, i16b, taps):
     """Dense gather-free inter prediction (ops/mc_dense.py).
@@ -289,6 +316,8 @@ def decode_frame_device(R, C, simple_lf, do_lf, interp,
     """One frame on device, orchestrating the four sub-programs."""
     if qc_idx is None:
         resid = _residuals_dense(qc_vals, escb, u8b, i16b)
+    elif qc_idx.dtype == jnp.uint8:
+        resid = _residuals_bitmap(qc_vals, qc_idx, escb, u8b, i16b)
     else:
         resid = _residuals_compact(qc_vals, qc_idx, escb, u8b, i16b)
     mc = _mc_dense_device(R, C, ref_y, ref_u, ref_v, u8b, i16b, taps)
@@ -457,6 +486,8 @@ class TPUDecoder(RefDecoder):
         dev = jax.device_put(up)
         qc_idx_d = dev.pop() if qc_idx is not None else None
         (u8b, i16b, qc_vals, escb, bmodes, bflags, obb, spb, sqb) = dev
+        if isinstance(bmodes, (tuple, list)):
+            bmodes = _expand_bmodes(R * C, *bmodes)
         ref_y = jnp.stack([self.last.y, self.golden.y, self.altref.y])
         ref_u = jnp.stack([self.last.u, self.golden.u, self.altref.u])
         ref_v = jnp.stack([self.last.v, self.golden.v, self.altref.v])
@@ -501,7 +532,22 @@ class TPUDecoder(RefDecoder):
         ref_frame = self.ref_frame[1:, 1:].reshape(N)
         intra = (ref_frame == INTRA_FRAME)
         ref_idx = np.clip(ref_frame - 1, 0, 2).astype(np.uint8)
-        bmodes = self.bmode[1:, 1:].reshape(N, 16).astype(np.uint8)
+        # B_PRED sub-block modes: bucket-compacted (usually few B_PRED MBs
+        # per inter frame; [N,16] u8 is 130KB of tunnel per frame at 1080p),
+        # expanded on device by _expand_bmodes.
+        bp_mbs = np.nonzero(mode == B_PRED)[0]
+        nbp = len(bp_mbs)
+        if nbp < N // 8:
+            Bp = 256
+            while Bp < nbp:
+                Bp *= 8
+            b_idx = np.full(Bp, N, np.int32)
+            b_idx[:nbp] = bp_mbs
+            b_rows = np.zeros((Bp, 16), np.uint8)
+            b_rows[:nbp] = self.bmode[1:, 1:].reshape(N, 16)[bp_mbs]
+            bmodes = (b_idx, b_rows)
+        else:
+            bmodes = self.bmode[1:, 1:].reshape(N, 16).astype(np.uint8)
         qcoeff = np.ascontiguousarray(self.qcoeff.reshape(N, 25, 16),
                                       dtype=np.int16)
         # coefficient transfer packing: 4-bit nibbles (levels are almost
@@ -521,23 +567,17 @@ class TPUDecoder(RefDecoder):
             lib = native.get_lib()
         if lib is not None:
             from ..utils.native import pack_coeffs_native
-            packed = pack_coeffs_native(lib, qflat, cap // 4)
+            packed = pack_coeffs_native(lib, qflat)
             if packed is not None:
-                dense, nzb, nibK, eidx, eval_ = packed
-                if dense:
-                    qc_vals = nibK.copy()   # [cap, 8]; qc_idx stays None
-                    rows = cap
-                else:
-                    K = len(nzb)
-                    Kp = max(1024, cap // 8)
-                    while Kp < K:
-                        Kp *= 2
-                    Kp = min(Kp, cap)
-                    qc_vals = np.full((Kp, 8), 0x88, np.uint8)
-                    qc_vals[:K] = nibK
-                    qc_idx = np.full(Kp, cap, np.int32)
-                    qc_idx[:K] = nzb
-                    rows = Kp
+                bitmap, nibK, eidx, eval_ = packed
+                K = len(nibK)
+                Kp = max(1024, cap // 8)
+                while Kp < K:
+                    Kp *= 2
+                Kp = min(Kp, cap)
+                qc_vals = np.empty((Kp, 8), np.uint8)
+                qc_vals[:K] = nibK          # padding rows never gathered
+                qc_idx = bitmap.copy()      # u8 dtype selects bitmap format
                 E = len(eidx)
                 Ep = 1024
                 while Ep < E:
@@ -545,7 +585,7 @@ class TPUDecoder(RefDecoder):
                 escb = np.zeros((Ep, 2), np.int32)
                 escb[:E, 0] = eidx
                 escb[:E, 1] = eval_
-                escb[E:, 0] = rows * 16
+                escb[E:, 0] = Kp * 16
         if qc_vals is None:
             nzb = np.flatnonzero(qflat.any(axis=1))
             K = len(nzb)

@@ -238,7 +238,13 @@ class ShardedTPUDecoder(TPUDecoder):
         qcoeff = padN(qcoeff, 0)
         y_mv = padN(y_mv, 0)
         uv_mv = padN(uv_mv, 0)
-        bmodes = padN(_rest[3], 0)
+        bm = _rest[3]
+        if isinstance(bm, tuple):      # bucket-compacted (b_idx, b_rows)
+            b_idx, b_rows = bm
+            bm = np.zeros((N, 16), np.uint8)
+            valid = b_idx < N
+            bm[b_idx[valid]] = b_rows[valid]
+        bmodes = padN(bm, 0)
         if Np != N:
             # dummy rows: intra DC with zero residuals, filter level 0 —
             # they read the real last row's strips and are cropped away

@@ -61,8 +61,7 @@ def get_lib():
         i32, i32, i16, i32]
     lib.vp8e_pack_coeffs.restype = ctypes.c_int
     lib.vp8e_pack_coeffs.argtypes = [
-        i16, ctypes.c_int64, ctypes.c_int64, i32, u8, i32, i16,
-        ctypes.c_int64, i64]
+        i16, ctypes.c_int64, u8, u8, i32, i16, ctypes.c_int64, i64]
     _lib = lib
     return _lib
 
@@ -147,37 +146,34 @@ class _PackScratch:
 
     def __init__(self, cap):
         self.cap = cap
-        self.nz_idx = np.empty(cap, np.int32)
+        self.bitmap = np.empty((cap + 7) // 8, np.uint8)
         self.nib = np.empty((cap, 8), np.uint8)
         self.esc_idx = np.empty(16 * cap, np.int32)
         self.esc_val = np.empty(16 * cap, np.int16)
-        self.counts = np.zeros(3, np.int64)
+        self.counts = np.zeros(2, np.int64)
 
 
 _pack_scratch = {}
 
 
-def pack_coeffs_native(lib, qflat, dense_threshold):
-    """Nibble-pack coefficients [nblocks, 16] i16, compacting to non-zero
-    blocks when fewer than dense_threshold of them are non-zero.
+def pack_coeffs_native(lib, qflat):
+    """Nibble-pack the non-zero blocks of coefficients [nblocks, 16] i16.
 
-    Returns (dense, nz_idx[:K], nib[:K], esc_idx[:E], esc_val[:E]) as views
-    into reusable scratch (caller must copy anything it keeps past the next
-    call), or None when the native library rejects the input.  In dense
-    mode K == nblocks and nz_idx is empty."""
+    Returns (bitmap, nib[:K], esc_idx[:E], esc_val[:E]) as views into
+    reusable scratch (caller must copy anything it keeps past the next
+    call), or None when the native library rejects the input.  bitmap has
+    bit b set (little-endian within bytes) when block b is non-zero."""
     nblocks = qflat.shape[0]
     sc = _pack_scratch.get(nblocks)
     if sc is None:
         sc = _pack_scratch[nblocks] = _PackScratch(nblocks)
     qflat = np.ascontiguousarray(qflat, dtype=np.int16)
     rc = lib.vp8e_pack_coeffs(
-        _p(qflat, ctypes.c_int16), nblocks, dense_threshold,
-        _p(sc.nz_idx, ctypes.c_int32), _p(sc.nib, ctypes.c_uint8),
+        _p(qflat, ctypes.c_int16), nblocks,
+        _p(sc.bitmap, ctypes.c_uint8), _p(sc.nib, ctypes.c_uint8),
         _p(sc.esc_idx, ctypes.c_int32), _p(sc.esc_val, ctypes.c_int16),
         16 * nblocks, _p(sc.counts, ctypes.c_int64))
     if rc != 0:
         return None
-    K, E, dense = (int(sc.counts[0]), int(sc.counts[1]),
-                   bool(sc.counts[2]))
-    return (dense, sc.nz_idx[:0 if dense else K], sc.nib[:K],
-            sc.esc_idx[:E], sc.esc_val[:E])
+    K, E = int(sc.counts[0]), int(sc.counts[1])
+    return (sc.bitmap, sc.nib[:K], sc.esc_idx[:E], sc.esc_val[:E])

@@ -565,40 +565,29 @@ int vp8e_detokenize(
 // [nblocks, 16] i16 array, nibble-pack levels (+8 bias, 4 bits per coeff)
 // and record every out-of-range level as an (idx, value) escape.
 //
-// Two formats, chosen by the non-zero-block count K vs dense_threshold:
-//   compact (K < threshold): only non-zero blocks are packed; nz_idx[k]
-//     holds the source block of packed row k and escape indices address the
-//     compacted row space (row_in_sel * 16 + coeff), matching the device
-//     scatter in tpu_decoder._unpack_nibbles.
-//   dense (K >= threshold): all rows packed in order, escapes address the
-//     full row space; nz_idx is untouched.
+// Only non-zero blocks are packed, in block order.  The block->row mapping
+// crosses the wire as a BITMAP (bit b set when block b is non-zero,
+// little-endian within bytes, capacity ceil(nblocks/8) bytes, zeroed here):
+// the device rebuilds row indices with a cumulative sum, so the per-block
+// cost on the wire is 1 bit + 8 bytes per non-zero block.  Escape indices
+// address the compacted row space (row * 16 + coeff), matching the device
+// scatter in tpu_decoder._unpack_nibbles.
 //
-// out_counts = {K_or_nblocks, E, is_dense}.  Caller guarantees nz_idx/nib
-// have capacity nblocks rows and esc_* have capacity esc_cap; overflow
-// aborts with return 1 (cannot happen with esc_cap = 16*nblocks).
+// out_counts = {K, E}.  Caller guarantees nib has capacity nblocks rows and
+// esc_* have capacity esc_cap; overflow aborts with return 1 (cannot happen
+// with esc_cap = 16*nblocks).
 int vp8e_pack_coeffs(const int16_t* qcoeff, int64_t nblocks,
-                     int64_t dense_threshold,
-                     int32_t* nz_idx, uint8_t* nib,
+                     uint8_t* bitmap, uint8_t* nib,
                      int32_t* esc_idx, int16_t* esc_val, int64_t esc_cap,
                      int64_t* out_counts) {
-  int64_t K = 0;
-  for (int64_t b = 0; b < nblocks; b++) {
-    const uint64_t* w = reinterpret_cast<const uint64_t*>(qcoeff + b * 16);
-    K += (w[0] | w[1] | w[2] | w[3]) != 0;
-  }
-  const bool dense = K >= dense_threshold;
+  std::memset(bitmap, 0, (size_t)((nblocks + 7) / 8));
   int64_t row = 0, E = 0;
   for (int64_t b = 0; b < nblocks; b++) {
     const uint64_t* w = reinterpret_cast<const uint64_t*>(qcoeff + b * 16);
-    const bool nz = (w[0] | w[1] | w[2] | w[3]) != 0;
-    if (!dense && !nz) continue;
+    if (!(w[0] | w[1] | w[2] | w[3])) continue;
+    bitmap[b >> 3] |= (uint8_t)(1u << (b & 7));
     const int16_t* q = qcoeff + b * 16;
     uint8_t* out = nib + row * 8;
-    if (!nz) {
-      std::memset(out, 0x88, 8);  // all-zero levels, biased
-      row++;
-      continue;
-    }
     for (int i = 0; i < 8; i++) {
       int lo = q[2 * i], hi = q[2 * i + 1];
       int nlo = lo + 8, nhi = hi + 8;
@@ -616,12 +605,10 @@ int vp8e_pack_coeffs(const int16_t* qcoeff, int64_t nblocks,
       }
       out[i] = (uint8_t)(nlo | (nhi << 4));
     }
-    if (!dense) nz_idx[row] = (int32_t)b;
     row++;
   }
   out_counts[0] = row;
   out_counts[1] = E;
-  out_counts[2] = dense;
   return 0;
 }
 
