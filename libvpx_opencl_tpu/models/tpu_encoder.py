@@ -205,9 +205,22 @@ class TPUEncoder(Encoder):
 
         dqs = dequant_factors(self.qindex, 0, 0, 0, 0, 0)
         self.dq_y1, self.dq_y2, self.dq_uv = dqs
-        dq1 = j(np.tile(np.asarray(dqs[0], np.int32), (N, 1)))
-        dq2 = j(np.tile(np.asarray(dqs[1], np.int32), (N, 1)))
-        dqu = j(np.tile(np.asarray(dqs[2], np.int32), (N, 1)))
+        if self.seg_map_enc is not None:
+            # per-segment quantizers (the decoder applies per-segment
+            # dequant, mb_init_dequantizer decodframe.c:74-89 — the device
+            # quantizer must match or the closed loop drifts)
+            per = [dequant_factors(
+                min(127, max(0, self.qindex + self.seg_q_deltas[s])),
+                0, 0, 0, 0, 0) for s in range(4)]
+            tab = np.asarray(per, np.int32)            # [4, 3, 2]
+            segs = self.seg_map_enc.reshape(N)
+            dq1 = j(tab[segs, 0])
+            dq2 = j(tab[segs, 1])
+            dqu = j(tab[segs, 2])
+        else:
+            dq1 = j(np.tile(np.asarray(dqs[0], np.int32), (N, 1)))
+            dq2 = j(np.tile(np.asarray(dqs[1], np.int32), (N, 1)))
+            dqu = j(np.tile(np.asarray(dqs[2], np.int32), (N, 1)))
 
         mode_dev = j(ymode.astype(np.int32))
         qcoeff, eobs, uv_mode_d, ry, ru, rv = _encode_device(
@@ -267,22 +280,27 @@ class TPUEncoder(Encoder):
         return payload
 
     def _lf_params(self, keyframe):
-        """Per-MB loop filter params (loopfilter.c:25-95, sharpness 0)."""
+        """Per-MB loop filter params (loopfilter.c:25-95, sharpness 0).
+        With segmentation active the per-MB level applies the per-segment
+        LF delta exactly like the decoder will (vp8_loop_filter_frame_init
+        lvl lattice), so the closed loop stays exact."""
         R, C = self.R, self.C
         N = R * C
-        fl = self.filter_level
-        inner = max(1, fl)  # block_inside_limit at sharpness 0
-        if fl >= 40:
-            hev = 2 if keyframe else 3
-        elif fl >= 20:
-            hev = 1 if keyframe else 2
-        elif fl >= 15:
-            hev = 1
+        base = self.filter_level
+        if self.seg_map_enc is not None:
+            segs = self.seg_map_enc.reshape(N)
+            deltas = np.asarray(self.seg_lf_deltas, np.int32)
+            fl = np.clip(base + deltas[segs], 0, 63)
         else:
-            hev = 0
+            fl = np.full(N, base, np.int32)
+        inner = np.maximum(1, fl)  # block_inside_limit at sharpness 0
+        hev = np.zeros(N, np.int32)
+        hev = np.where(fl >= 15, 1, hev)
+        hev = np.where(fl >= 20, (1 if keyframe else 2), hev)
+        hev = np.where(fl >= 40, (2 if keyframe else 3), hev)
         noskip = ~(self.skip.reshape(N) != 0)
-        return (np.full(N, fl, np.int32),
-                np.full(N, 2 * (fl + 2) + inner, np.int32),
-                np.full(N, 2 * fl + inner, np.int32),
-                np.full(N, inner, np.int32),
-                np.full(N, hev, np.int32), noskip)
+        return (fl.astype(np.int32),
+                (2 * (fl + 2) + inner).astype(np.int32),
+                (2 * fl + inner).astype(np.int32),
+                inner.astype(np.int32),
+                hev.astype(np.int32), noskip)
