@@ -835,10 +835,18 @@ class Encoder:
                                       coeffs, q, eobs, cuv, quv, euv)
                 if ref_id != LAST_FRAME:
                     continue
-                # SPLITMV candidate (8x8 partitioning) on LAST
-                bmv16 = self._split_search(r, c, ref_fb, src_y, smv,
-                                           best_mv)
-                if len({tuple(v) for v in bmv16}) > 1:
+                # SPLITMV candidates on LAST: 8x8 / 16x8 / 8x16 searched
+                # always; 4x4 only when a coarser split is currently the
+                # best inter mode (the ordering heuristic of
+                # vp8_rd_pick_best_mbsegmentation, rdopt.c:1318)
+                for s_ in (2, 0, 1, 3):
+                    if s_ == 3 and (best_inter is None or
+                                    best_inter[1] != SPLITMV):
+                        continue
+                    bmv16 = self._split_search(r, c, ref_fb, src_y, smv,
+                                               best_mv, s_)
+                    if len({tuple(v) for v in bmv16}) <= 1:
+                        continue
                     pred_y, pred_u, pred_v = self._split_pred(
                         r, c, ref_fb, bmv16)
                     coeffs, q, eobs, erry = self._quant_y_nodc(
@@ -848,14 +856,15 @@ class Encoder:
                     a2, l2 = actx0.copy(), lctx0.copy()
                     rate = rdopt.cost1(self.prob_intra) + \
                         rdopt.cost0(self.prob_last)
-                    rate += self._split_rate_mv(r, c, bmv16, best_mv, probs)
+                    rate += self._split_rate_mv(r, c, bmv16, best_mv,
+                                                probs, s_)
                     rate += self._cost_y(q, eobs, False, a2, l2)
                     rate += self._cost_uv(quv, euv, a2, l2)
                     dist = (erry >> 2) + (erruv >> 2)
                     rd = self._rdc(rate, dist)
                     if best_inter is None or rd < best_inter[0]:
-                        best_inter = (rd, SPLITMV, bmv16, ref_fb, ref_id,
-                                      pred_y, pred_u, pred_v,
+                        best_inter = (rd, SPLITMV, (bmv16, s_), ref_fb,
+                                      ref_id, pred_y, pred_u, pred_v,
                                       coeffs, q, eobs, cuv, quv, euv)
 
         # ---- choose + final encode (with trellis) ----
@@ -867,9 +876,9 @@ class Encoder:
             self.uvmode[r, c] = DC_PRED
             self.bmode[pr, pc] = 0
             if mode_ == SPLITMV:
-                bmv16 = mv_
+                bmv16, s_ = mv_
                 self.bmv[pr, pc] = bmv16
-                self.split_part[r, c] = 2
+                self.split_part[r, c] = s_
                 self.mv[pr, pc] = bmv16[15]
                 self._store_mb_nodc(r, c, coeffs, q, eobs, cuv, quv, euv,
                                     dq_y1, dq_uv)
@@ -957,34 +966,50 @@ class Encoder:
                     ref_fb.v, cy0 + qy, cx0 + qx, mr, mc2, 4)
         return pred_y, pred_u, pred_v
 
-    def _split_search(self, r, c, ref_fb, src_y, seed_mv, best_mv):
-        """8x8-partition sub-block motion search (the SPLITMV encode role of
-        vp8_rd_pick_best_mbsegmentation, rdopt.c:1318; 8x8 partitioning
-        only — the dominant split in practice)."""
+    #: partition pixel geometry per mbsplit mode s: (height, width)
+    _SPLIT_GEOM = {0: (8, 16), 1: (16, 8), 2: (8, 8), 3: (4, 4)}
+
+    def _split_search(self, r, c, ref_fb, src_y, seed_mv, best_mv, s=2):
+        """Sub-block motion search for mbsplit partitioning `s` (the SPLITMV
+        encode role of vp8_rd_pick_best_mbsegmentation, rdopt.c:1318;
+        s: 0=16x8, 1=8x16, 2=8x8, 3=4x4).  Full-pel full search around the
+        seed + iterative half/quarter-pel refine per partition."""
         R, C = self.R, self.C
         b = BORDER
         y0, x0 = b + r * 16, b + c * 16
-        lo_r = max(-(r * 16) - 16, (seed_mv[0] >> 3) - 8)
-        hi_r = min((R - 1 - r) * 16 + 16, (seed_mv[0] >> 3) + 8)
-        lo_c = max(-(c * 16) - 16, (seed_mv[1] >> 3) - 8)
-        hi_c = min((C - 1 - c) * 16 + 16, (seed_mv[1] >> 3) + 8)
+        rng = 4 if s == 3 else 8
+        lo_r = max(-(r * 16) - 16, (seed_mv[0] >> 3) - rng)
+        hi_r = min((R - 1 - r) * 16 + 16, (seed_mv[0] >> 3) + rng)
+        lo_c = max(-(c * 16) - 16, (seed_mv[1] >> 3) - rng)
+        hi_c = min((C - 1 - c) * 16 + 16, (seed_mv[1] >> 3) + rng)
         bmv16 = np.zeros((16, 2), np.int32)
         epb = self.errorperbit
-        for k in refdec.MBSPLIT_OFFSET[2]:        # [0, 2, 8, 10]
+        ph, pw = self._SPLIT_GEOM[s]
+        offsets = refdec.MBSPLIT_OFFSET[s]
+        fills = refdec.MBSPLIT_FILL_OFFSET[s]
+        fc_n = refdec.MBSPLIT_FILL_COUNT[s]
+        refy = ref_fb.y
+        from numpy.lib.stride_tricks import sliding_window_view
+        # per-candidate MV rate over the search grid, shared by partitions
+        nR, nC = hi_r - lo_r + 1, hi_c - lo_c + 1
+        mvrate = np.empty((nR, nC), np.int64)
+        for i_, dy in enumerate(range(lo_r, hi_r + 1)):
+            for j_, dx in enumerate(range(lo_c, hi_c + 1)):
+                mvrate[i_, j_] = (rdopt.mv_cost(dy * 8 - best_mv[0],
+                                                dx * 8 - best_mv[1])
+                                  * epb + 128) >> 8
+        for j, k in enumerate(offsets):
             br, bc_ = (k >> 2) * 4, (k & 3) * 4
-            sb = src_y[br:br + 8, bc_:bc_ + 8]
-            refy = ref_fb.y
-            bestc, bdy, bdx = 1 << 60, seed_mv[0] >> 3, seed_mv[1] >> 3
-            for dy in range(lo_r, hi_r + 1):
-                for dx in range(lo_c, hi_c + 1):
-                    blk = refy[y0 + br + dy:y0 + br + dy + 8,
-                               x0 + bc_ + dx:x0 + bc_ + dx + 8]
-                    sad = int(np.abs(sb - blk.astype(np.int32)).sum())
-                    cost = sad + ((rdopt.mv_cost(dy * 8 - best_mv[0],
-                                                 dx * 8 - best_mv[1])
-                                   * epb + 128) >> 8)
-                    if cost < bestc:
-                        bestc, bdy, bdx = cost, dy, dx
+            sb = src_y[br:br + ph, bc_:bc_ + pw]
+            win = refy[y0 + br + lo_r:y0 + br + hi_r + ph,
+                       x0 + bc_ + lo_c:x0 + bc_ + hi_c + pw]
+            sads = np.abs(
+                sliding_window_view(win, (ph, pw)).astype(np.int32) -
+                sb[None, None]).sum((2, 3))
+            costs = sads + mvrate
+            am = int(np.argmin(costs))
+            bdy, bdx = lo_r + am // nC, lo_c + am % nC
+            bestc = int(costs[am // nC, am % nC])
             bmv = (bdy * 8, bdx * 8)
             for sub in (4, 2):
                 improved = True
@@ -996,8 +1021,8 @@ class Encoder:
                         if not (lo_r * 8 <= cand[0] <= hi_r * 8 and
                                 lo_c * 8 <= cand[1] <= hi_c * 8):
                             continue
-                        pred = self._mc_block(refy, y0 + br, x0 + bc_,
-                                              cand[0], cand[1], 8)
+                        pred = self._mc_block_wh(refy, y0 + br, x0 + bc_,
+                                                 cand[0], cand[1], ph, pw)
                         cost = int(np.abs(sb - pred).sum()) + \
                             ((rdopt.mv_cost(cand[0] - best_mv[0],
                                             cand[1] - best_mv[1])
@@ -1005,22 +1030,29 @@ class Encoder:
                         if cost < bestc:
                             bestc, bmv = cost, cand
                             improved = True
-            fills = refdec.MBSPLIT_FILL_OFFSET[2]
-            j = refdec.MBSPLIT_OFFSET[2].index(k)
-            fc_n = refdec.MBSPLIT_FILL_COUNT[2]
             for fo in fills[j * fc_n:(j + 1) * fc_n]:
                 bmv16[fo] = bmv
         return bmv16
 
-    def _split_rate_mv(self, r, c, bmv16, best_mv, probs):
-        """Signaling rate of a SPLITMV candidate (8x8 partitioning),
+    def _split_tree_cost(self, s):
+        """mbsplit-tree signaling cost (write_split, bitstream.c:155-160;
+        tree decode order: 110 -> {0: s=3}; 111 -> {0: s=2}; 150 -> s=0/1."""
+        if s == 3:
+            return rdopt.cost0(110)
+        if s == 2:
+            return rdopt.cost1(110) + rdopt.cost0(111)
+        base = rdopt.cost1(110) + rdopt.cost1(111)
+        return base + (rdopt.cost0(150) if s == 0 else rdopt.cost1(150))
+
+    def _split_rate_mv(self, r, c, bmv16, best_mv, probs, s=2):
+        """Signaling rate of a SPLITMV candidate at partitioning `s`,
         filling self.bmv[pr,pc] progressively for the sub_mv_ref context."""
         pr, pc = r + 1, c + 1
         rate = rdopt.mv_ref_cost(SPLITMV, probs)
-        rate += rdopt.cost1(110) + rdopt.cost0(111)     # mbsplit tree s=2
-        fills = refdec.MBSPLIT_FILL_OFFSET[2]
-        fc_n = refdec.MBSPLIT_FILL_COUNT[2]
-        for j, k in enumerate(refdec.MBSPLIT_OFFSET[2]):
+        rate += self._split_tree_cost(s)
+        fills = refdec.MBSPLIT_FILL_OFFSET[s]
+        fc_n = refdec.MBSPLIT_FILL_COUNT[s]
+        for j, k in enumerate(refdec.MBSPLIT_OFFSET[s]):
             blockmv = tuple(bmv16[k])
             leftmv = self._left_bmv(pr, pc, k)
             abovemv = self._above_bmv(pr, pc, k)
@@ -1181,6 +1213,14 @@ class Encoder:
                                      mvc & 7, mvr & 7).astype(np.int32)
         return plane[sy:sy + n, sx:sx + n].astype(np.int32)
 
+    def _mc_block_wh(self, plane, py, px, mvr, mvc, h, w):
+        sy = py + (mvr >> 3)
+        sx = px + (mvc >> 3)
+        if (mvr & 7) or (mvc & 7):
+            return refdec._sixtap_2d(plane, sy, sx, w, h, 0,
+                                     mvc & 7, mvr & 7).astype(np.int32)
+        return plane[sy:sy + h, sx:sx + w].astype(np.int32)
+
     def _inter_search(self, r, c, ref, src_y):
         """Full-pel diamond-ish search + half/quarter refine over LAST."""
         R, C = self.R, self.C
@@ -1217,24 +1257,18 @@ class Encoder:
         lo_c = max(-(c * 16) - 16, cxc - rng)
         hi_c = min((C - 1 - c) * 16 + 16, cxc + rng)
         refy = ref.y
-        best = (1 << 60, 0, 0)
-        for dy in range(lo_r, hi_r + 1, 2):
-            for dx in range(lo_c, hi_c + 1, 2):
-                blk = refy[y0 + dy:y0 + dy + 16, x0 + dx:x0 + dx + 16]
-                cost = int(np.abs(src_y - blk.astype(np.int32)).sum())
-                if cost < best[0]:
-                    best = (cost, dy, dx)
-        # refine +-1 full pel
-        _, bdy, bdx = best
-        for dy in (bdy - 1, bdy, bdy + 1):
-            for dx in (bdx - 1, bdx, bdx + 1):
-                if not (lo_r <= dy <= hi_r and lo_c <= dx <= hi_c):
-                    continue
-                blk = refy[y0 + dy:y0 + dy + 16, x0 + dx:x0 + dx + 16]
-                cost = int(np.abs(src_y - blk.astype(np.int32)).sum())
-                if cost < best[0]:
-                    best = (cost, dy, dx)
-        cost_fp, bdy, bdx = best
+        # exhaustive step-1 full-pel search, vectorized over the window
+        # (vp8_full_search_sad role, mcomp.c:1295 — a step-2 grid misses
+        # the delta-function SAD minima of textured content entirely)
+        from numpy.lib.stride_tricks import sliding_window_view
+        win = refy[y0 + lo_r:y0 + hi_r + 16, x0 + lo_c:x0 + hi_c + 16]
+        sads = np.abs(
+            sliding_window_view(win, (16, 16)).astype(np.int32) -
+            src_y[None, None]).sum((2, 3))
+        am = int(np.argmin(sads))
+        nC = sads.shape[1]
+        bdy, bdx = lo_r + am // nC, lo_c + am % nC
+        cost_fp = int(sads[am // nC, am % nC])
         # subpel refine (quarter-pel: mv components even in 1/8 units)
         bmv = (bdy * 8, bdx * 8)
         bcost = cost_fp
@@ -1320,8 +1354,102 @@ class Encoder:
     # ------------------------------------------------------------------
     # bitstream packing
 
+    # -- per-frame mode/MV probability updates ------------------------------
+    # (update_mbintra_mode_probs bitstream.c:108-133, vp8_write_mvprobs
+    # encodemv.c:374-417; refresh_entropy_probs=0 keeps every frame's
+    # updates relative to the defaults, like the coef-prob updates above)
+
+    def _update_mode_probs(self, e, tree, cur_probs, counts):
+        """update_mode (bitstream.c:63-106): send fresh tree probabilities
+        when the branch-cost saving beats 256 bits per probability."""
+        bct = _tree_branch_counts(tree, counts)
+        n = len(cur_probs)
+        c0, c1 = self._bitcost
+        pnew = np.zeros(n, np.int32)
+        new_b = old_b = 0
+        for i in range(n):
+            t0, t1 = int(bct[i, 0]), int(bct[i, 1])
+            tot = t0 + t1
+            if tot:
+                p = (t0 * 256 + (tot >> 1)) // tot
+                pnew[i] = 255 if p >= 256 else (p if p else 1)
+            else:
+                pnew[i] = 128
+            cur = int(cur_probs[i])
+            new_b += (t0 * c0[pnew[i]] + t1 * c1[pnew[i]]) >> 8
+            old_b += (t0 * c0[cur] + t1 * c1[cur]) >> 8
+        if new_b + (n << 8) < old_b:
+            e.write_bit(1)
+            for i in range(n):
+                cur_probs[i] = int(pnew[i]) if pnew[i] else 1
+                e.write_literal(int(cur_probs[i]), 8)
+        else:
+            e.write_bit(0)
+
+    def _count_mv_component(self, comp, v):
+        """MVcount accumulation (the per-component event histogram feeding
+        write_component_probs, encodemv.c:227-335); v = component >> 1."""
+        st = self._mvstats[comp]
+        x = abs(v)
+        if v > 0:
+            st["sign"][0] += 1
+        elif v < 0:
+            st["sign"][1] += 1
+        if x < 8:
+            st["short_flag"][0] += 1
+            st["short"][x] += 1
+        else:
+            st["short_flag"][1] += 1
+            for k in range(10):
+                st["bits"][k][(x >> k) & 1] += 1
+
+    def _write_mv_probs(self, e):
+        """vp8_write_mvprobs dual: per-probability update when the saving
+        beats the ~7-9 bit signaling cost (update(), encodemv.c:200-222)."""
+        c0, c1 = self._bitcost
+
+        def calc_prob(ct):
+            tot = ct[0] + ct[1]
+            if not tot:
+                return None
+            x = ((int(ct[0]) * 255) // tot) & ~1
+            return x if x else 1
+
+        for comp in range(2):
+            st = self._mvstats[comp]
+            cur = self.mvc[comp]
+            # counts in prob order: is_short, sign, short tree (7), bits (10)
+            short_bct = _tree_branch_counts(T.SMALL_MV_TREE, st["short"])
+            cts = [tuple(st["short_flag"]), tuple(st["sign"])]
+            cts += [tuple(short_bct[j]) for j in range(7)]
+            cts += [tuple(st["bits"][k]) for k in range(10)]
+            for i, ct in enumerate(cts):
+                upd_p = int(T.MV_UPDATE_PROBS[comp, i])
+                default = int(T.DEFAULT_MV_CONTEXT[comp, i])
+                newp = calc_prob(ct)
+                if newp is None:
+                    newp = default
+                curp = int(cur[i])
+                t0, t1 = int(ct[0]), int(ct[1])
+                cur_b = (t0 * c0[curp] + t1 * c1[curp]) >> 8
+                new_b = (t0 * c0[newp] + t1 * c1[newp]) >> 8
+                cost = 7 - 1 + ((c1[upd_p] - c0[upd_p] + 128) >> 8)
+                if cur_b - new_b > cost:
+                    cur[i] = newp
+                    e.write(1, upd_p)
+                    e.write_literal(newp >> 1, 7)
+                else:
+                    e.write(0, upd_p)
+
     def _pack(self, keyframe):
         R, C = self.R, self.C
+        # per-frame entropy contexts start from the defaults
+        # (refresh_entropy_probs is always written 0)
+        self.mvc = np.array(T.DEFAULT_MV_CONTEXT, np.int32).copy()
+        self.ymode_prob = np.array(T.YMODE_PROB, np.int32).copy()
+        self.uv_mode_prob = np.array(T.UV_MODE_PROB, np.int32).copy()
+        self._bitcost = _BITCOST
+        self._mode_counting = False
         first = BoolEncoder()
         if keyframe:
             first.write_bit(0)  # clr_type
@@ -1383,7 +1511,7 @@ class Encoder:
         counts = np.zeros((4, 8, 3, 11, 2), np.int64)
         self._count_tokens(counts)
         up = T.COEF_UPDATE_PROBS
-        bitcost = _prob_bitcost()
+        bitcost = _BITCOST
         for i in range(4):
             for j in range(8):
                 for k in range(3):
@@ -1425,11 +1553,26 @@ class Encoder:
             first.write_literal(self.prob_intra, 8)
             first.write_literal(self.prob_last, 8)
             first.write_literal(self.prob_gf, 8)
-            first.write_bit(0)  # no ymode prob update
-            first.write_bit(0)  # no uv prob update
-            for comp in range(2):
-                for i in range(19):
-                    first.write(0, int(T.MV_UPDATE_PROBS[comp, i]))
+            # mode/MV probability updates: dry-pack the mode section with
+            # the defaults to collect event counts, decide updates, then
+            # pack for real with the updated probabilities
+            self._mvstats = [{"sign": [0, 0], "short_flag": [0, 0],
+                              "short": [0] * 8,
+                              "bits": [[0, 0] for _ in range(10)]}
+                             for _ in range(2)]
+            self._ymode_ct = np.zeros(5, np.int64)
+            self._uv_ct = np.zeros(4, np.int64)
+            self._mode_counting = True
+            dry = BoolEncoder()
+            for r in range(R):
+                for c in range(C):
+                    self._pack_mb_modes(dry, r, c, keyframe)
+            self._mode_counting = False
+            self._update_mode_probs(first, T.YMODE_TREE, self.ymode_prob,
+                                    self._ymode_ct)
+            self._update_mode_probs(first, T.UV_MODE_TREE, self.uv_mode_prob,
+                                    self._uv_ct)
+            self._write_mv_probs(first)
         for r in range(R):
             for c in range(C):
                 self._pack_mb_modes(first, r, c, keyframe)
@@ -1494,13 +1637,18 @@ class Encoder:
         is_inter = int(self.reff[pr, pc]) != INTRA_FRAME
         e.write(1 if is_inter else 0, self.prob_intra)
         if not is_inter:
-            e.write_tree(T.YMODE_TREE.tolist(), T.YMODE_PROB.tolist(), mode)
+            if self._mode_counting:
+                self._ymode_ct[mode] += 1
+                self._uv_ct[int(self.uvmode[r, c])] += 1
+            e.write_tree(T.YMODE_TREE.tolist(), self.ymode_prob.tolist(),
+                         mode)
             if mode == B_PRED:
                 tree = T.BMODE_TREE.tolist()
                 for i in range(16):
                     e.write_tree(tree, T.BMODE_PROB.tolist(),
                                  int(self.bmode[pr, pc, i]))
-            e.write_tree(T.UV_MODE_TREE.tolist(), T.UV_MODE_PROB.tolist(),
+            e.write_tree(T.UV_MODE_TREE.tolist(),
+                         self.uv_mode_prob.tolist(),
                          int(self.uvmode[r, c]))
             return
         ref_used = int(self.reff[pr, pc])
@@ -1564,10 +1712,12 @@ class Encoder:
 
     def _write_mv(self, e, delta, comp):
         """Dual of read_mvcomponent (decodemv.c:76-107); delta in 1/8 units
-        (must be even)."""
+        (must be even). Uses the frame's (possibly updated) MV context."""
         assert delta % 2 == 0
+        if self._mode_counting:
+            self._count_mv_component(comp, delta >> 1)
         x = abs(delta) >> 1
-        p = [int(v) for v in T.DEFAULT_MV_CONTEXT[comp]]
+        p = [int(v) for v in self.mvc[comp]]
         MVPsign, MVPshort, MVPbits = 1, 2, 9
         if x < 8:
             e.write(0, p[0])
@@ -1779,6 +1929,25 @@ class Encoder:
 import math
 
 
+def _tree_branch_counts(tree, num_events):
+    """Per-branch (0,1) event counts for a vp8 tree (branch_counts,
+    treecoder.c:60-105; branch/prob index = node offset >> 1)."""
+    nb = len(tree) // 2
+    bct = np.zeros((nb, 2), np.int64)
+
+    def walk(node):
+        tot = 0
+        for side in (0, 1):
+            t = int(tree[node + side])
+            cnt = int(num_events[-t]) if t <= 0 else walk(t)
+            bct[node >> 1, side] += cnt
+            tot += cnt
+        return tot
+
+    walk(0)
+    return bct
+
+
 def _prob_bitcost():
     """cost (in 1/256 bits) of a 0/1 decision at probability p (the
     vp8_prob_cost role, boolhuff.c:23-40)."""
@@ -1789,6 +1958,9 @@ def _prob_bitcost():
         c1[p] = int(round(-math.log2((256 - p) / 256.0) * 256))
     c0[0] = c1[0] = 1 << 20
     return c0, c1
+
+
+_BITCOST = _prob_bitcost()
 
 
 def _uv_mv(mv):
