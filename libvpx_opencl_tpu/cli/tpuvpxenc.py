@@ -44,9 +44,13 @@ def main(argv=None):
     from ..utils.y4m import Y4MReader
 
     rd = Y4MReader(args.input)
+    # --cpu-used maps to the mode-decision path like the reference's speed
+    # features (vp8_set_speed_features onyx_if.c:670): >=4 uses the fast
+    # SAD decision (pickinter.c role), else full token-cost RD
     enc = Encoder(rd.w, rd.h, qindex=args.cq_level,
                   token_parts=args.token_parts,
-                  golden_interval=args.golden_interval)
+                  golden_interval=args.golden_interval,
+                  rd=args.cpu_used < 4)
     mb_count = ((rd.h + 15) // 16) * ((rd.w + 15) // 16)
     rc = None
     if args.passes == 2:
@@ -60,21 +64,29 @@ def main(argv=None):
     elif args.end_usage in ("vbr", "cbr"):
         rc = RateController(args.target_bitrate,
                             rd.fps[0] / max(1, rd.fps[1]), mb_count,
-                            min_q=args.min_q, max_q=args.max_q)
+                            min_q=args.min_q, max_q=args.max_q,
+                            end_usage=args.end_usage,
+                            kf_max_dist=args.kf_max_dist)
     stream = IvfStream(width=rd.w, height=rd.h,
                        timebase_num=rd.fps[1], timebase_den=rd.fps[0])
     t0 = time.time()
     psnr_acc = []
     n = 0
+    from ..models.ratecontrol import encode_frame_with_rc
     for i, (y, u, v) in enumerate(rd):
         keyframe = (i == 0) or (args.kf_max_dist > 0 and
                                 i % max(1, args.kf_max_dist) == 0)
-        if rc is not None:
+        if isinstance(rc, RateController):
+            # one-pass: full RC with the recode loop
+            payload = encode_frame_with_rc(enc, rc, y, u, v,
+                                           keyframe=keyframe)
+        elif rc is not None:
             enc.qindex = rc.frame_q(keyframe)
-        payload = enc.encode_frame(y, u, v, keyframe=keyframe)
-        stream.frames.append((payload, i))
-        if rc is not None:
+            payload = enc.encode_frame(y, u, v, keyframe=keyframe)
             rc.update(enc.qindex, len(payload) * 8, keyframe)
+        else:
+            payload = enc.encode_frame(y, u, v, keyframe=keyframe)
+        stream.frames.append((payload, i))
         if args.psnr:
             rec = enc.dec.frame_to_show.visible()
             psnr_acc.append(frame_psnr((y, u, v), rec)["all"])

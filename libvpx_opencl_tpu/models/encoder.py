@@ -309,11 +309,14 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def encode_frame(self, y, u, v, keyframe=None, refresh_last=True,
-                     refresh_golden=None):
+                     refresh_golden=None, commit=True):
         """Encode one I420 frame (uint8 planes). Returns the VP8 payload.
         refresh_last/refresh_golden control reference updates (temporal
         scalability patterns encode enhancement layers with no refreshes —
-        vp8_scalable_patterns.c role)."""
+        vp8_scalable_patterns.c role). commit=False leaves the closed-loop
+        reference state untouched so a rate-control recode loop can re-run
+        the frame at a different Q (the reference's recode loop,
+        onyx_if.c:3600-3800); call commit_frame(payload) to accept."""
         if keyframe is None:
             keyframe = self.frame_count == 0
         self.refresh_last_flag = bool(refresh_last) or keyframe
@@ -412,10 +415,15 @@ class Encoder:
             self._pick_filter_level(keyframe)
 
         payload = self._pack(keyframe)
-        # closed loop: advance reference state through our decoder
+        if commit:
+            self.commit_frame(payload)
+        return payload
+
+    def commit_frame(self, payload):
+        """Advance the closed loop (decode the accepted payload into the
+        reference ring) — split out for the RC recode loop."""
         self.dec.decode_frame_core(payload)
         self.frame_count += 1
-        return payload
 
     # ------------------------------------------------------------------
     def _encode_mb(self, r, c, keyframe, refs):

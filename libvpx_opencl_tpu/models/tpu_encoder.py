@@ -138,7 +138,7 @@ class TPUEncoder(Encoder):
         self.ref = z
         self.prev_mv = np.zeros((R * C, 2), np.int32)
 
-    def encode_frame(self, y, u, v, keyframe=None):
+    def encode_frame(self, y, u, v, keyframe=None, commit=True):
         if keyframe is None:
             keyframe = self.frame_count == 0
         R, C = self.R, self.C
@@ -267,8 +267,18 @@ class TPUEncoder(Encoder):
             self.skip = (tot == 0).astype(np.int32)
 
         payload = self._pack(keyframe)
+        self._pending = (keyframe, ry, ru, rv, mv8)
+        if commit:
+            self.commit_frame(payload)
+        return payload
 
-        # loop filter + reference update on device
+    def commit_frame(self, payload):
+        """Apply the device loop filter + reference swap for the accepted
+        frame (split out for the RC recode loop)."""
+        keyframe, ry, ru, rv, mv8 = self._pending
+        self._pending = None
+        j = jnp.asarray
+        R, C = self.R, self.C
         flevel, mblim_a, blim_a, lim_a, hev_a, noskip_a = \
             self._lf_params(keyframe)
         cy, cu, cv = _lf_device(R, C, self.filter_level > 0, ry, ru, rv,
@@ -277,7 +287,6 @@ class TPUEncoder(Encoder):
         self.ref = DeviceFrame(cy, cu, cv, self.w, self.h)
         self.prev_mv = mv8.copy()
         self.frame_count += 1
-        return payload
 
     def _lf_params(self, keyframe):
         """Per-MB loop filter params (loopfilter.c:25-95, sharpness 0).

@@ -1,0 +1,70 @@
+"""Rate control: CBR accuracy, recode loop, buffer model.
+
+VERDICT round-2 'done' criterion: CBR encode of the corpus hits the target
+bitrate within 5% with no buffer underflow.
+"""
+import numpy as np
+
+from libvpx_opencl_tpu.models.encoder import Encoder
+from libvpx_opencl_tpu.models.ratecontrol import (RateController,
+                                                  encode_frame_with_rc)
+from test_encoder import synth
+
+
+def test_cbr_hits_target():
+    w, h, n = 176, 144, 48
+    fps = 30.0
+    # target must sit inside the content's achievable rate range (at the
+    # min-Q floor this clip tops out near 230 kbps; at max Q ~40 kbps);
+    # start the buffer at the optimal level so the measurement window is
+    # steady-state, not the initial buffer-fill transient
+    target_kbps = 120
+    frames = synth(w, h, n)
+    mb = ((h + 15) // 16) * ((w + 15) // 16)
+    enc = Encoder(w, h, qindex=40, rd=False)
+    rc = RateController(target_kbps, fps, mb, end_usage="cbr",
+                        starting_buffer_ms=5000, kf_max_dist=9999)
+    total_bits = 0
+    min_buffer = 1 << 62
+    for y, u, v in frames:
+        payload = encode_frame_with_rc(enc, rc, y, u, v)
+        total_bits += len(payload) * 8
+        min_buffer = min(min_buffer, rc.buffer_level)
+    achieved_kbps = total_bits * fps / n / 1000.0
+    # CBR accuracy gate: within 5% of target
+    assert abs(achieved_kbps - target_kbps) / target_kbps < 0.05, \
+        f"CBR achieved {achieved_kbps:.1f} kbps vs target {target_kbps}"
+    # no buffer underflow
+    assert min_buffer > 0, f"buffer underflow: {min_buffer}"
+
+
+def test_recode_loop_brackets_q():
+    """The recode loop must converge (bounded attempts) and keep the frame
+    size inside the computed bounds when Q has room to move."""
+    w, h = 176, 144
+    frames = synth(w, h, 4)
+    mb = ((h + 15) // 16) * ((w + 15) // 16)
+    enc = Encoder(w, h, qindex=40, rd=False)
+    rc = RateController(800, 30.0, mb, end_usage="cbr", kf_max_dist=9999)
+    for i, (y, u, v) in enumerate(frames):
+        payload = encode_frame_with_rc(enc, rc, y, u, v)
+        assert len(payload) > 0
+    # correction factors adapt away from 1.0 as evidence accumulates
+    assert rc.rate_correction_factor != 1.0 or \
+        rc.key_frame_rate_correction_factor != 1.0
+
+
+def test_keyframe_boost_and_overspend_recovery():
+    rc = RateController(400, 30.0, 99, end_usage="cbr", kf_max_dist=10)
+    # first frame: keyframe target derives from the starting buffer
+    assert rc.want_keyframe()
+    t_kf = rc.frame_target(True)
+    assert t_kf > rc.per_frame_bandwidth
+    rc.frame_done(30, t_kf * 2, True)       # overspent keyframe
+    assert rc.kf_overspend_bits > 0
+    t_p = rc.frame_target(False)
+    assert t_p < rc.per_frame_bandwidth      # recovery pulls inter targets
+    # forced keyframe interval
+    for _ in range(10):
+        rc.frame_done(40, rc.per_frame_bandwidth, False)
+    assert rc.want_keyframe()
