@@ -31,7 +31,11 @@ def main(argv=None):
     p.add_argument("--passes", type=int, default=1, choices=[1, 2])
     p.add_argument("--fpf", default=None,
                    help="first-pass stats file (two-pass)")
-    p.add_argument("--auto-alt-ref", type=int, default=0)
+    p.add_argument("--auto-alt-ref", type=int, default=0,
+                   help="1 = synthesize ARNR-filtered altref frames")
+    p.add_argument("--arnr-maxframes", type=int, default=5)
+    p.add_argument("--arnr-strength", type=int, default=6)
+    p.add_argument("--lag-in-frames", type=int, default=16)
     p.add_argument("--golden-interval", type=int, default=0)
     p.add_argument("--cpu-used", type=int, default=0)
     p.add_argument("--psnr", action="store_true")
@@ -73,7 +77,33 @@ def main(argv=None):
     psnr_acc = []
     n = 0
     from ..models.ratecontrol import encode_frame_with_rc
-    for i, (y, u, v) in enumerate(rd):
+    if args.auto_alt_ref:
+        # ARNR altref pipeline: buffer the clip (lookahead role) and
+        # encode with periodic filtered-altref synthesis
+        from ..models.arnr import encode_sequence_altref
+        frames = list(rd)
+        if args.limit:
+            frames = frames[:args.limit]
+        payloads = encode_sequence_altref(
+            enc, rc if isinstance(rc, RateController) else None, frames,
+            gf_interval=max(4, args.lag_in_frames // 2),
+            max_frames=args.arnr_maxframes, strength=args.arnr_strength)
+        n = 0
+        for p in payloads:
+            stream.frames.append((p, len(stream.frames)))
+            n += p[0] & 0x10 and 1 or 0
+        if args.psnr:
+            from ..models.refdec import RefDecoder
+            d = type("D", (RefDecoder,), {"use_native": True})()
+            shown = 0
+            for p, _ in stream.frames:
+                show, planes = d.decode_frame(p)
+                if show and shown < len(frames):
+                    psnr_acc.append(frame_psnr(frames[shown], planes)["all"])
+                    shown += 1
+    else:
+        frames = rd
+    for i, (y, u, v) in enumerate(frames if not args.auto_alt_ref else []):
         keyframe = (i == 0) or (args.kf_max_dist > 0 and
                                 i % max(1, args.kf_max_dist) == 0)
         if isinstance(rc, RateController):

@@ -1,0 +1,176 @@
+"""ARNR temporal filter — altref frame synthesis.
+
+Implements the reference's motion-compensated temporal blur
+(vp8/encoder/temporal_filter.c): for each MB of the altref anchor frame,
+every window frame is motion-matched (find_matching_mb, :139) and
+accumulated with per-pixel weights 16 - clip((3*d^2 + 2^(s-1)) >> s, 0, 16)
+scaled by a per-MB match weight 2/1/0 from the match error thresholds
+(:608: err < 10000 -> 2, < 20000 -> 1, else skipped), then normalized with
+rounded division (:668). The synthesized frame is encoded as an invisible
+ALTREF update (show_frame=0, refresh_alternate=1) that later frames can
+predict from (onyx_if.c:4624-4649 scheduling).
+"""
+from __future__ import annotations
+
+import numpy as np
+from numpy.lib.stride_tricks import sliding_window_view
+
+THRESH_LOW = 10000
+THRESH_HIGH = 20000
+
+
+def _pad(plane, pad):
+    return np.pad(plane, pad, mode="edge")
+
+
+def _weighted_accumulate(base, pred, strength, weight, accum, count):
+    """vp8_temporal_filter_apply_c (temporal_filter.c:88-135),
+    vectorized over a whole plane."""
+    d = pred.astype(np.int32) - base.astype(np.int32)
+    mod = (d * d * 3 + (1 << (strength - 1))) >> strength
+    mod = 16 - np.minimum(mod, 16)
+    mod = mod * weight
+    accum += mod * pred.astype(np.int32)
+    count += mod
+
+
+def synthesize_altref(frames, alt_index, strength=6, max_frames=5,
+                      mc_range=7):
+    """Synthesize the altref planes from `frames` (list of (y,u,v) uint8)
+    centered at alt_index (center blur, arnr_type 3 of
+    vp8_temporal_filter_prepare_c, temporal_filter.c:431-505).
+
+    Returns (y, u, v) uint8 planes of the filtered frame."""
+    n = len(frames)
+    avail_back = alt_index
+    avail_fwd = n - alt_index - 1
+    m = min(avail_back, avail_fwd)      # center blur equalizes both sides
+    fwd = min(m, (max_frames - 1) // 2)
+    back = min(m, max_frames // 2)
+    window = list(range(alt_index - back, alt_index + fwd + 1))
+
+    cy, cu, cv = [np.asarray(p) for p in frames[alt_index][:3]]
+    h, w = cy.shape
+    R, C = (h + 15) // 16, (w + 15) // 16
+    pad = 16 + mc_range
+
+    acc_y = np.zeros((h, w), np.int32)
+    cnt_y = np.zeros((h, w), np.int32)
+    acc_u = np.zeros(cu.shape, np.int32)
+    cnt_u = np.zeros(cu.shape, np.int32)
+    acc_v = np.zeros(cv.shape, np.int32)
+    cnt_v = np.zeros(cv.shape, np.int32)
+
+    for fi in window:
+        fy, fu, fv = [np.asarray(p) for p in frames[fi][:3]]
+        if fi == alt_index:
+            wmap = np.full((R, C), 2, np.int32)
+            py, pu, pv = fy, fu, fv
+        else:
+            pyp = _pad(fy, pad)
+            pup = _pad(fu, pad // 2)
+            pvp = _pad(fv, pad // 2)
+            py = np.zeros((h, w), np.uint8)
+            pu = np.zeros(cu.shape, np.uint8)
+            pv = np.zeros(cv.shape, np.uint8)
+            wmap = np.zeros((R, C), np.int32)
+            for r in range(R):
+                for c in range(C):
+                    y0, x0 = r * 16, c * 16
+                    mbh = min(16, h - y0)
+                    mbw = min(16, w - x0)
+                    base = cy[y0:y0 + mbh, x0:x0 + mbw].astype(np.int32)
+                    win = pyp[pad + y0 - mc_range:
+                              pad + y0 + mc_range + mbh,
+                              pad + x0 - mc_range:pad + x0 + mc_range + mbw]
+                    sads = np.abs(
+                        sliding_window_view(win, (mbh, mbw))
+                        .astype(np.int32) - base[None, None]).sum((2, 3))
+                    am = int(np.argmin(sads))
+                    nC = sads.shape[1]
+                    dy = am // nC - mc_range
+                    dx = am % nC - mc_range
+                    pred = pyp[pad + y0 + dy:pad + y0 + dy + mbh,
+                               pad + x0 + dx:pad + x0 + dx + mbw]
+                    err = int(((base - pred.astype(np.int32)) ** 2).sum())
+                    wgt = 2 if err < THRESH_LOW else \
+                        (1 if err < THRESH_HIGH else 0)
+                    wmap[r, c] = wgt
+                    if wgt == 0:
+                        continue
+                    py[y0:y0 + mbh, x0:x0 + mbw] = pred
+                    # chroma: nearest full-pel of mv/2
+                    cdy = (dy + (1 if dy >= 0 else -1)) // 2
+                    cdx = (dx + (1 if dx >= 0 else -1)) // 2
+                    cy0, cx0 = y0 // 2, x0 // 2
+                    cbh, cbw = (mbh + 1) // 2, (mbw + 1) // 2
+                    hp = pad // 2
+                    pu[cy0:cy0 + cbh, cx0:cx0 + cbw] = \
+                        pup[hp + cy0 + cdy:hp + cy0 + cdy + cbh,
+                            hp + cx0 + cdx:hp + cx0 + cdx + cbw]
+                    pv[cy0:cy0 + cbh, cx0:cx0 + cbw] = \
+                        pvp[hp + cy0 + cdy:hp + cy0 + cdy + cbh,
+                            hp + cx0 + cdx:hp + cx0 + cdx + cbw]
+
+        # per-pixel weight maps from the per-MB match weights
+        wy = np.repeat(np.repeat(wmap, 16, 0), 16, 1)[:h, :w]
+        wc = np.repeat(np.repeat(wmap, 8, 0), 8, 1)[:cu.shape[0],
+                                                    :cu.shape[1]]
+        _weighted_accumulate(cy, py, strength, wy, acc_y, cnt_y)
+        _weighted_accumulate(cu, pu, strength, wc, acc_u, cnt_u)
+        _weighted_accumulate(cv, pv, strength, wc, acc_v, cnt_v)
+
+    def norm(acc, cnt, base):
+        cnt1 = np.maximum(cnt, 1)
+        out = (acc + (cnt1 >> 1)) // cnt1
+        # pixels with no contributions keep the anchor value
+        return np.where(cnt > 0, out, base).astype(np.uint8)
+
+    return norm(acc_y, cnt_y, cy), norm(acc_u, cnt_u, cu), \
+        norm(acc_v, cnt_v, cv)
+
+
+def encode_sequence_altref(enc, rc, frames, gf_interval=8, max_frames=5,
+                           strength=6):
+    """Encode a frame sequence with periodic ARNR altref synthesis
+    (the --auto-alt-ref pipeline: onyx_if.c:4624-4649 scheduling in
+    display-order form). At each GF-group start a filtered future frame is
+    encoded as an invisible ALTREF update; the following frames may
+    predict from it. Returns the list of payloads (invisible ARF frames
+    included — they carry show_frame=0)."""
+    from .ratecontrol import encode_frame_with_rc
+    payloads = []
+    n = len(frames)
+    for i, f in enumerate(frames):
+        y, u, v = f[:3]
+        kf = rc.want_keyframe() if rc is not None else (i == 0)
+        if i % gf_interval == 0 and not kf and i + 1 < n:
+            center = min(i + gf_interval, n - 1)
+            ay, au, av = synthesize_altref(frames, center,
+                                           strength=strength,
+                                           max_frames=max_frames)
+            # the ARF is a long-lived reference: encode it at a boosted
+            # (lower) quantizer so prediction from it is high-fidelity
+            # (the gfu_boost role, calc_gf_params ratectrl.c:448; without
+            # the boost the ARF's quantization noise cancels the ARNR
+            # denoising gain entirely)
+            saved_q = enc.qindex
+            if rc is not None:
+                target = rc.frame_target(False, golden=True) * 3
+                q = rc.regulate_q(target, False, golden=True)
+                enc.qindex = q
+            else:
+                q = max(4, saved_q * 3 // 5)
+                enc.qindex = q
+            p = enc.encode_frame(ay, au, av, keyframe=False, show=False,
+                                 refresh_alt=True, refresh_last=False)
+            enc.qindex = saved_q
+            if rc is not None:
+                rc.frame_done(q, len(p) * 8, False, golden=True)
+            payloads.append(p)
+        if rc is not None:
+            p = encode_frame_with_rc(enc, rc, y, u, v, keyframe=kf)
+        else:
+            p = enc.encode_frame(y, u, v, keyframe=kf)
+        payloads.append(p)
+    return payloads

@@ -309,7 +309,8 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def encode_frame(self, y, u, v, keyframe=None, refresh_last=True,
-                     refresh_golden=None, commit=True):
+                     refresh_golden=None, commit=True, show=True,
+                     refresh_alt=False):
         """Encode one I420 frame (uint8 planes). Returns the VP8 payload.
         refresh_last/refresh_golden control reference updates (temporal
         scalability patterns encode enhancement layers with no refreshes —
@@ -381,11 +382,16 @@ class Encoder:
                 self.golden_interval and
                 self.frame_count % self.golden_interval == 0)
         self.refresh_golden = bool(refresh_golden)
+        self.refresh_alt = bool(refresh_alt)
+        self.show_frame = bool(show) or keyframe
         refs = None
         if not keyframe:
             refs = [(self.dec.last, LAST_FRAME)]
-            if self.golden_interval and self.dec.golden is not self.dec.last:
+            if self.dec.golden is not self.dec.last:
                 refs.append((self.dec.golden, GOLDEN_FRAME))
+            if (self.dec.altref is not self.dec.last and
+                    self.dec.altref is not self.dec.golden):
+                refs.append((self.dec.altref, ALTREF_FRAME))
         for r in range(R):
             self._lctx = np.zeros(9, np.int32)
             for c in range(C):
@@ -826,9 +832,12 @@ class Encoder:
                     rate = rdopt.cost1(self.prob_intra)
                     if ref_id == LAST_FRAME:
                         rate += rdopt.cost0(self.prob_last)
-                    else:
+                    elif ref_id == GOLDEN_FRAME:
                         rate += rdopt.cost1(self.prob_last) + \
                             rdopt.cost0(self.prob_gf)
+                    else:
+                        rate += rdopt.cost1(self.prob_last) + \
+                            rdopt.cost1(self.prob_gf)
                     rate += rdopt.mv_ref_cost(mode_, probs)
                     if mode_ == NEWMV:
                         rate += rdopt.mv_cost(mv_[0] - best_mv[0],
@@ -1267,16 +1276,26 @@ class Encoder:
         refy = ref.y
         # exhaustive step-1 full-pel search, vectorized over the window
         # (vp8_full_search_sad role, mcomp.c:1295 — a step-2 grid misses
-        # the delta-function SAD minima of textured content entirely)
+        # the delta-function SAD minima of textured content entirely).
+        # The selection includes the MV signaling rate (mvsad_err_cost,
+        # mcomp.c:1295+): without it the argmin over ~1k candidates
+        # overfits noise with junk far-away MVs.
         from numpy.lib.stride_tricks import sliding_window_view
         win = refy[y0 + lo_r:y0 + hi_r + 16, x0 + lo_c:x0 + hi_c + 16]
         sads = np.abs(
             sliding_window_view(win, (16, 16)).astype(np.int32) -
             src_y[None, None]).sum((2, 3))
-        am = int(np.argmin(sads))
-        nC = sads.shape[1]
+        epb = self.errorperbit
+        dys = np.arange(lo_r, hi_r + 1) * 8 - best_mv[0]
+        dxs = np.arange(lo_c, hi_c + 1) * 8 - best_mv[1]
+        rowc = rdopt.MV_COST[0][np.minimum(np.abs(dys) >> 1, 1023)]
+        colc = rdopt.MV_COST[1][np.minimum(np.abs(dxs) >> 1, 1023)]
+        mvrate = ((rowc[:, None] + colc[None, :]) * 96) >> 7
+        costs = sads + ((mvrate * epb + 128) >> 8)
+        am = int(np.argmin(costs))
+        nC = costs.shape[1]
         bdy, bdx = lo_r + am // nC, lo_c + am % nC
-        cost_fp = int(sads[am // nC, am % nC])
+        cost_fp = int(costs[am // nC, am % nC])
         # subpel refine (quarter-pel: mv components even in 1/8 units)
         bmv = (bdy * 8, bdx * 8)
         bcost = cost_fp
@@ -1290,7 +1309,10 @@ class Encoder:
                             lo_c * 8 <= cand[1] <= hi_c * 8):
                         continue
                     pred = self._mc_block(refy, y0, x0, cand[0], cand[1], 16)
-                    cost = int(np.abs(src_y - pred).sum())
+                    cost = int(np.abs(src_y - pred).sum()) + \
+                        ((rdopt.mv_cost(cand[0] - best_mv[0],
+                                        cand[1] - best_mv[1])
+                          * epb + 128) >> 8)
                     if cost < bcost:
                         bcost, bmv = cost, cand
                         improved = True
@@ -1501,11 +1523,13 @@ class Encoder:
             first.write_bit(0)  # q deltas absent
         if not keyframe:
             rg = 1 if getattr(self, "refresh_golden", False) else 0
+            ra = 1 if getattr(self, "refresh_alt", False) else 0
             first.write_bit(rg)  # refresh_golden
-            first.write_bit(0)   # refresh_alt
+            first.write_bit(ra)  # refresh_alt
             if not rg:
                 first.write_literal(0, 2)  # copy to gf
-            first.write_literal(0, 2)  # copy to arf
+            if not ra:
+                first.write_literal(0, 2)  # copy to arf
             first.write_bit(0)  # sign bias gf
             first.write_bit(0)  # sign bias arf
         first.write_bit(0)      # refresh_entropy_probs
@@ -1554,10 +1578,13 @@ class Encoder:
             n = R * C
             n_inter = n - n_intra
             n_last = int((self.reff[1:, 1:] == LAST_FRAME).sum())
+            n_gf = int((self.reff[1:, 1:] == GOLDEN_FRAME).sum())
+            n_arf = int((self.reff[1:, 1:] == ALTREF_FRAME).sum())
             self.prob_intra = min(254, max(1, 255 * n_inter // n))
             self.prob_last = min(254, max(1, 255 * n_last //
                                           max(1, n_inter)))
-            self.prob_gf = 254  # golden vs altref: we only use golden
+            self.prob_gf = min(254, max(1, 255 * n_gf //
+                                        max(1, n_gf + n_arf)))
             first.write_literal(self.prob_intra, 8)
             first.write_literal(self.prob_last, 8)
             first.write_literal(self.prob_gf, 8)
@@ -1608,7 +1635,8 @@ class Encoder:
                          self.w & 0xFF, (self.w >> 8) & 0x3F,
                          self.h & 0xFF, (self.h >> 8) & 0x3F])
         else:
-            tag = (1 | (0 << 1) | (1 << 4) | (len(part0) << 5))
+            show = 1 if getattr(self, "show_frame", True) else 0
+            tag = (1 | (0 << 1) | (show << 4) | (len(part0) << 5))
             hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
         return hdr + part0 + part1
 
