@@ -106,6 +106,8 @@ def main(argv=None):
     for i, (y, u, v) in enumerate(frames if not args.auto_alt_ref else []):
         keyframe = (i == 0) or (args.kf_max_dist > 0 and
                                 i % max(1, args.kf_max_dist) == 0)
+        if rc is not None and hasattr(rc, "want_keyframe"):
+            keyframe = keyframe or rc.want_keyframe()
         if isinstance(rc, RateController):
             # one-pass: full RC with the recode loop
             payload = encode_frame_with_rc(enc, rc, y, u, v,

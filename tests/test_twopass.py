@@ -1,0 +1,87 @@
+"""Two-pass: 17-field stats, scene-cut keyframes, allocation gain."""
+import numpy as np
+
+from libvpx_opencl_tpu.models import twopass
+from libvpx_opencl_tpu.models.encoder import Encoder
+from libvpx_opencl_tpu.models.ratecontrol import (RateController,
+                                                  encode_frame_with_rc)
+from test_encoder import synth, psnr
+
+
+def two_scene_clip(w, h, n, cut):
+    rng = np.random.RandomState(7)
+    texA = rng.randint(30, 226, size=(h, w)).astype(np.uint8)
+    texB = rng.randint(30, 226, size=(h, w)).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        base = texA if t < cut else texB
+        y = np.clip(base.astype(np.int32) +
+                    rng.randint(-2, 3, base.shape), 0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120 + (t & 3), np.uint8)
+        v = np.full((h // 2, w // 2), 130, np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def test_stats_fields_and_roundtrip(tmp_path):
+    frames = two_scene_clip(176, 144, 8, 4)
+    stats = twopass.first_pass(frames)
+    assert len(stats) == 8
+    # 17-field struct round-trips through the --fpf stats file
+    p = tmp_path / "fpf.json"
+    twopass.save_stats(str(p), stats)
+    loaded = twopass.load_stats(str(p))
+    for a, b in zip(stats, loaded):
+        assert a == b
+    # scene cut at 4: inter usage collapses, second pass must see it
+    assert stats[4].pcnt_inter < 0.4
+    assert stats[3].pcnt_inter > 0.8
+    # motion stats populated on inter frames
+    assert stats[2].count == 1.0
+
+
+def test_second_pass_places_scene_cut_keyframe():
+    frames = two_scene_clip(176, 144, 16, 9)
+    stats = twopass.first_pass(frames)
+    rc = twopass.TwoPassController(stats, 300, 30.0, 99)
+    assert 0 in rc.kf_positions
+    assert 9 in rc.kf_positions, rc.kf_positions
+
+
+def test_twopass_beats_onepass_at_matched_rate():
+    w, h, n = 176, 144, 16
+    cut = 9
+    frames = two_scene_clip(w, h, n, cut)
+    mb = 99
+    kbps = 500
+
+    # one-pass CBR (no scene knowledge)
+    enc1 = Encoder(w, h, qindex=40, rd=False)
+    rc1 = RateController(kbps, 30.0, mb, end_usage="cbr",
+                         starting_buffer_ms=5000, kf_max_dist=9999)
+    size1, ps1 = 0, []
+    for y, u, v in frames:
+        p = encode_frame_with_rc(enc1, rc1, y, u, v)
+        size1 += len(p)
+        ps1.append(psnr(y, enc1.dec.frame_to_show.visible()[0]))
+
+    # two-pass at the same target
+    stats = twopass.first_pass(frames)
+    rc2 = twopass.TwoPassController(stats, kbps, 30.0, mb)
+    enc2 = Encoder(w, h, qindex=40, rd=False)
+    size2, ps2 = 0, []
+    for i, (y, u, v) in enumerate(frames):
+        kf = rc2.want_keyframe()
+        enc2.qindex = rc2.frame_q(kf)
+        p = enc2.encode_frame(y, u, v, keyframe=kf)
+        rc2.update(enc2.qindex, len(p) * 8, kf)
+        size2 += len(p)
+        ps2.append(psnr(y, enc2.dec.frame_to_show.visible()[0]))
+
+    p1, p2 = float(np.mean(ps1)), float(np.mean(ps2))
+    # gate: two-pass PSNR beats one-pass at comparable (or smaller) size;
+    # allow a proportional PSNR credit when two-pass also spent less
+    assert size2 < size1 * 1.10, (size1, size2)
+    credit = 0.0 if size2 >= size1 else 0.2
+    assert p2 + credit > p1, f"two-pass {p2:.2f}dB/{size2}B " \
+        f"vs one-pass {p1:.2f}dB/{size1}B"
