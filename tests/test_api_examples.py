@@ -84,3 +84,72 @@ def test_input_fragments():
         for y, u, v in dec.get_frame():
             got.append(frame_md5(y, u, v))
     assert got == golden
+
+
+def _moving_clip(tmp_path, n=6, w=96, h=64, name="mv.y4m"):
+    from libvpx_opencl_tpu.utils.y4m import write_y4m
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 255, (h + 32, w + 32), np.uint8)
+    frames = []
+    for i in range(n):
+        y = base[i:i + h, 2 * i:2 * i + w].copy()
+        frames.append((y, np.full((h // 2, w // 2), 120, np.uint8),
+                       np.full((h // 2, w // 2), 130, np.uint8)))
+    y4m = str(tmp_path / name)
+    write_y4m(y4m, frames, w, h)
+    return y4m
+
+
+def test_twopass_encoder_example(tmp_path):
+    import twopass_encoder
+    from libvpx_opencl_tpu.models.refdec import RefDecoder
+    from libvpx_opencl_tpu.utils.ivf import read_ivf
+    out = str(tmp_path / "out.ivf")
+    n = twopass_encoder.main(_moving_clip(tmp_path), out, bitrate=200)
+    assert n == 6
+    d = RefDecoder()
+    shown = sum(d.decode_frame(p)[0] for p, _ in read_ivf(out).frames)
+    assert shown == 6
+
+
+def test_error_resilient_example(tmp_path):
+    import error_resilient
+    out = str(tmp_path / "out.ivf")
+    decoded = error_resilient.main(_moving_clip(tmp_path, n=8), out,
+                                   drop_percent=30)
+    assert decoded >= 2  # keyframes always survive
+
+
+def test_decode_with_partial_drops_example():
+    import decode_with_partial_drops
+    shown, concealed = decode_with_partial_drops.main(
+        vector("part4_cif.ivf"), loss_percent=50)
+    assert shown == 6
+    assert concealed >= 1
+
+
+def test_vp8_set_maps_example(tmp_path):
+    import vp8_set_maps
+    from libvpx_opencl_tpu.models.refdec import RefDecoder
+    from libvpx_opencl_tpu.utils.ivf import read_ivf
+    out = str(tmp_path / "out.ivf")
+    n = vp8_set_maps.main(_moving_clip(tmp_path, n=14), out)
+    assert n == 14
+    d = RefDecoder()
+    shown = sum(d.decode_frame(p)[0] for p, _ in read_ivf(out).frames)
+    assert shown == 14
+
+
+def test_multi_resolution_encoder_example(tmp_path):
+    import vp8_multi_resolution_encoder
+    from libvpx_opencl_tpu.models.refdec import RefDecoder
+    from libvpx_opencl_tpu.utils.ivf import read_ivf
+    hi, lo = str(tmp_path / "hi.ivf"), str(tmp_path / "lo.ivf")
+    n = vp8_multi_resolution_encoder.main(_moving_clip(tmp_path, n=3),
+                                          hi, lo)
+    assert n == 3
+    for path, shape in ((hi, (64, 96)), (lo, (32, 48))):
+        d = RefDecoder()
+        for p, _ in read_ivf(path).frames:
+            show, planes = d.decode_frame(p)
+            assert show and planes[0].shape == shape
