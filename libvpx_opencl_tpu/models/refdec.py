@@ -435,6 +435,11 @@ class RefDecoder:
         self.y1dc_d = self.y2dc_d = self.y2ac_d = self.uvdc_d = self.uvac_d = 0
         self.sign_bias = [0, 0, 0, 0]
         self.decoded_key_frame = False
+        # per-MB error-concealment state (error_concealment.c:408,559,589)
+        self.prev_mv = None       # previous frame's padded MV grid (1/8 pel)
+        self.prev_ref = None      # previous frame's padded ref-frame grid
+        self.corrupt_mb = None    # [R,C] bool: MBs concealed this frame
+        self.mvs_corrupt_from = None
 
     # -- header ------------------------------------------------------------
 
@@ -510,21 +515,28 @@ class RefDecoder:
         parts = []
         part_bytes = []
         off = 3 * (nparts - 1)
+        # per-MB EC is possible when there is motion history to estimate
+        # from; otherwise truncation falls back to whole-frame concealment
+        ec_per_mb = (self.ec_enabled and frame_type != 0 and
+                     self.prev_mv is not None and self.last is not None)
         if len(part_data) < off or part0_size > len(data) - pos:
             # truncated packet (read_available_partition_size's
             # "Truncated partition size data" case)
             self.corrupted = True
-            if self.ec_enabled:
+            if self.ec_enabled and not ec_per_mb:
                 raise ValueError("truncated packet")
         for i in range(nparts):
             if i < nparts - 1:
-                sz = part_data[i * 3] | (part_data[i * 3 + 1] << 8) | \
-                     (part_data[i * 3 + 2] << 16)
+                if (i + 1) * 3 <= len(part_data):
+                    sz = part_data[i * 3] | (part_data[i * 3 + 1] << 8) | \
+                         (part_data[i * 3 + 2] << 16)
+                else:
+                    sz = -1
             else:
                 sz = len(part_data) - off
             if sz < 0 or off + sz > len(part_data):
                 self.corrupted = True
-                if self.ec_enabled:
+                if self.ec_enabled and not ec_per_mb:
                     raise ValueError("truncated partition")
                 sz = max(0, len(part_data) - off)
             part_bytes.append(bytes(part_data[off:off + sz]))
@@ -562,17 +574,24 @@ class RefDecoder:
                             cp[i, j, k, l] = bc.read_literal(8)
         self.mb_no_coeff_skip = bc.read_bit()
 
+        self.mvs_corrupt_from = None
+        self.corrupt_mb = None
         self._decode_modes(bc)
         if bc.error():
             # read past the end of partition 0 (vp8dx_bool_error,
             # corruption tracking decodframe.c:1139-1143)
             self.corrupted = True
-            if self.ec_enabled:
+            if self.ec_enabled and self.mvs_corrupt_from is None:
+                # keyframe / no motion history: whole-frame concealment
                 raise ValueError("corrupt partition 0")
         self._reconstruct()
         if any(p.error() for p in self.bool_parts):
             self.corrupted = True
         self._swap_and_filter()
+        # motion history for next frame's per-MB concealment
+        # (error_concealment.c estimate_missing_mvs reads prior-frame MVs)
+        self.prev_mv = self.mv.copy()
+        self.prev_ref = self.ref_frame.copy()
         self.decoded_key_frame = True
         return show_frame
 
@@ -661,7 +680,9 @@ class RefDecoder:
         self.need_clamp = np.zeros((R, C), dtype=np.int32)
         self.skip = np.zeros((R, C), dtype=np.int32)
 
-        if self.use_native:
+        if self.use_native and not self.ec_enabled:
+            # the native runtime has no mid-stream error-position report;
+            # EC mode stays on the Python layer (EC frames are rare)
             from ..utils import native
             lib = native.get_lib()
             if lib is not None:
@@ -691,6 +712,96 @@ class RefDecoder:
         for r in range(R):
             for c in range(C):
                 self._decode_mb_mode(bc, r, c)
+                if self.ec_enabled and bc.error():
+                    # estimate_missing_mvs semantics
+                    # (error_concealment.c:408): every MB from the first
+                    # corrupt one onward gets an interpolated MV
+                    if (self.frame_type != 0 and self.last is not None
+                            and self.prev_mv is not None):
+                        self.mvs_corrupt_from = (r, c)
+                        self._ec_estimate_missing_modes(r, c)
+                    return
+
+    # -- per-MB error concealment (error_concealment.c) --------------------
+
+    def _ec_interpolate_mv(self, r, c):
+        """Overlap-weighted MV estimate for MB (r,c) from the previous
+        frame's motion field (estimate_mv / calculate_overlaps,
+        error_concealment.c:166-268, at MB rather than 4x4 granularity:
+        each prev-frame MB is advanced along its own motion and its MV is
+        weighted by the area overlapping this MB)."""
+        num_r = num_c = den = 0
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                rr, cc = r + dr, c + dc
+                if not (0 <= rr < self.mb_rows and 0 <= cc < self.mb_cols):
+                    continue
+                if int(self.prev_ref[rr + 1, cc + 1]) == INTRA_FRAME:
+                    continue
+                mvr, mvc = (int(self.prev_mv[rr + 1, cc + 1, 0]),
+                            int(self.prev_mv[rr + 1, cc + 1, 1]))
+                # prev MB advanced by its own motion, in 1/8-pel units
+                # (content at X-mv moved to X: it continues to X+(-mv)?
+                #  no — predictor is ref[X+mv], so content moved by -mv;
+                #  constant-motion extrapolation puts it at pos - mv)
+                pr8 = 128 * rr - mvr
+                pc8 = 128 * cc - mvc
+                ov_r = min(pr8 + 128, 128 * r + 128) - max(pr8, 128 * r)
+                ov_c = min(pc8 + 128, 128 * c + 128) - max(pc8, 128 * c)
+                if ov_r <= 0 or ov_c <= 0:
+                    continue
+                w = ov_r * ov_c
+                num_r += w * mvr
+                num_c += w * mvc
+                den += w
+        if den == 0:
+            return 0, 0
+        est_r = int(round(num_r / den))
+        est_c = int(round(num_c / den))
+        # keep the estimate inside the UMV-extended window for this MB
+        # (the reference clamps in vp8_interpolate_motion via
+        #  clamp_mv_to_umv_border, reconinter.c:349-370)
+        MARGIN = 18 << 3
+        est_r = max(-(r * 16) * 8 - MARGIN,
+                    min(((self.mb_rows - 1 - r) * 16) * 8 + MARGIN, est_r))
+        est_c = max(-(c * 16) * 8 - MARGIN,
+                    min(((self.mb_cols - 1 - c) * 16) * 8 + MARGIN, est_c))
+        return est_r & ~1, est_c & ~1  # full MV grid is even (1/4-pel *2)
+
+    def _ec_conceal_tokens_mb(self, r, c):
+        """Residual data for MB (r,c) was lost: keep the (intact) mode/MV
+        from partition 0 and reconstruct prediction-only."""
+        R, C = self.mb_rows, self.mb_cols
+        if self.corrupt_mb is None:
+            self.corrupt_mb = np.zeros((R, C), bool)
+        self.qcoeff[r, c] = 0
+        self.eobs[r, c] = 0
+        self.skip[r, c] = 1
+        self.corrupt_mb[r, c] = True
+        self.corrupted = True
+
+    def _ec_estimate_missing_modes(self, r0, c0):
+        """Fill modes/MVs for every MB at/after (r0,c0) in raster order:
+        inter NEWMV from LAST with the interpolated MV, no residual
+        (vp8_estimate_missing_mvs, error_concealment.c:389-428)."""
+        R, C = self.mb_rows, self.mb_cols
+        if self.corrupt_mb is None:
+            self.corrupt_mb = np.zeros((R, C), bool)
+        for r in range(R):
+            for c in range(C):
+                if r < r0 or (r == r0 and c < c0):
+                    continue
+                pr, pc = r + 1, c + 1
+                mvr, mvc = self._ec_interpolate_mv(r, c)
+                self.mode[pr, pc] = NEWMV
+                self.uv_mode[r, c] = DC_PRED
+                self.ref_frame[pr, pc] = LAST_FRAME
+                self.mv[pr, pc] = (mvr, mvc)
+                self.bmv[pr, pc] = 0
+                self.partitioning[r, c] = 0
+                self.need_clamp[r, c] = 1
+                self.skip[r, c] = 1
+                self.corrupt_mb[r, c] = True
 
     def _decode_mb_mode(self, bc, r, c):
         """decode_mb_mode_mvs (decodemv.c:596-620)."""
@@ -1042,7 +1153,7 @@ class RefDecoder:
         self.skip where eobtotal==0 (decode_macroblock decodframe.c:119-130).
         """
         R, C = self.mb_rows, self.mb_cols
-        if self.use_native:
+        if self.use_native and not self.ec_enabled:
             from ..utils import native
             lib = native.get_lib()
             if lib is not None:
@@ -1051,6 +1162,10 @@ class RefDecoder:
         self.qcoeff = np.zeros((R, C, 25, 16), dtype=np.int32)
         self.eobs = np.zeros((R, C, 25), dtype=np.int32)
         nparts = len(self.bool_parts)
+        # per-partition corruption: once a partition's bool decoder runs
+        # dry, every later MB it feeds is concealed prediction-only
+        # (vp8_conceal_corrupt_mbs role, error_concealment.c:559-589)
+        part_bad = [p.error() for p in self.bool_parts]
         above_ctx = np.zeros((C, 9), dtype=np.int32)
         for r in range(R):
             left_ctx = np.zeros(9, dtype=np.int32)
@@ -1058,6 +1173,11 @@ class RefDecoder:
             for c in range(C):
                 mode = int(self.mode[r + 1, c + 1])
                 has_y2 = mode not in (B_PRED, SPLITMV)
+                if self.ec_enabled and part_bad[r % nparts]:
+                    self._ec_conceal_tokens_mb(r, c)
+                    above_ctx[c] = 0
+                    left_ctx[:] = 0
+                    continue
                 if self.skip[r, c]:
                     # vp8_reset_mb_tokens_context (detokenize.c:70-84)
                     above_ctx[c, :8] = 0
@@ -1069,6 +1189,12 @@ class RefDecoder:
                     q, eobs, eobtotal = self._decode_mb_tokens(
                         bc, has_y2, above_ctx[c], left_ctx,
                         self.fc.coef_probs)
+                    if self.ec_enabled and bc.error():
+                        part_bad[r % nparts] = True
+                        self._ec_conceal_tokens_mb(r, c)
+                        above_ctx[c] = 0
+                        left_ctx[:] = 0
+                        continue
                     self.qcoeff[r, c] = q
                     self.eobs[r, c] = eobs
                     if eobtotal == 0:

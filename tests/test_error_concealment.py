@@ -17,9 +17,85 @@ def test_concealment_on_truncated_frame():
     concealed = list(dec.get_frame())
     assert dec.get_frame_corrupted()
     assert len(concealed) == 1
-    # concealed frame == previous reference
-    assert np.array_equal(concealed[0][0], ok[0][0])
+    # per-MB concealment with an empty motion history reduces to
+    # (near-)previous-frame repetition; a handful of MBs decoded from the
+    # leftover bytes before the error flag flipped may differ
+    d = concealed[0][0].astype(np.int32) - ok[0][0].astype(np.int32)
+    mse = float((d * d).mean())
+    assert mse < 300.0  # >23 dB vs previous frame
     # subsequent intact frames keep decoding
     dec.decode(frames[2][0])
     nxt = list(dec.get_frame())
     assert len(nxt) == 1
+
+
+def _psnr(a, b):
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = (d * d).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_per_mb_concealment_truncated_token_partition():
+    """Mid-frame token loss: modes survive (partition 0 intact), lost
+    residuals conceal prediction-only (error_concealment.c:559-589)."""
+    frames = read_ivf(vector("inter_qcif.ivf")).frames
+    clean = CodecDecoder(use_tpu=False)
+    dec = CodecDecoder(flags=(USE_ERROR_CONCEALMENT,), use_tpu=False)
+    for payload, _ in frames[:2]:
+        clean.decode(payload)
+        dec.decode(payload)
+    list(clean.get_frame())
+    prev_shown = list(dec.get_frame())[-1]
+    # frame 2: keep headers + partition 0, drop most of the token data
+    p = frames[2][0]
+    cut = len(p) * 2 // 3
+    clean.decode(frames[2][0])
+    dec.decode(p[:cut])
+    golden = list(clean.get_frame())[0]
+    got = list(dec.get_frame())
+    assert len(got) == 1
+    assert dec.get_frame_corrupted()
+    cm = dec._dec.corrupt_mb
+    assert cm is not None and cm.any() and not cm.all()
+    # motion-compensated prediction-only concealment must beat the
+    # round-1 behavior (whole-frame replacement with the previous frame)
+    assert _psnr(got[0][0], golden[0]) > _psnr(prev_shown[0], golden[0])
+    assert _psnr(got[0][0], golden[0]) > 14.0
+    # and the stream keeps decoding
+    dec.decode(frames[3][0])
+    assert len(list(dec.get_frame())) == 1
+
+
+def test_per_mb_concealment_corrupt_mode_partition():
+    """Partition 0 truncated mid-modes: remaining MBs get interpolated
+    MVs from the previous frame's motion field
+    (vp8_estimate_missing_mvs, error_concealment.c:389-428)."""
+    frames = read_ivf(vector("inter_qcif.ivf")).frames
+    clean = CodecDecoder(use_tpu=False)
+    dec = CodecDecoder(flags=(USE_ERROR_CONCEALMENT,), use_tpu=False)
+    for payload, _ in frames[:3]:
+        clean.decode(payload)
+        dec.decode(payload)
+    list(clean.get_frame())
+    list(dec.get_frame())
+    # frame 3: cut inside partition 0 (tag is 3 bytes; part0 starts there)
+    p = frames[3][0]
+    tag = p[0] | (p[1] << 8) | (p[2] << 16)
+    part0_size = tag >> 5
+    cut = 3 + part0_size // 2
+    clean.decode(p)
+    dec.decode(p[:cut])
+    golden = list(clean.get_frame())[0]
+    got = list(dec.get_frame())
+    assert len(got) == 1
+    assert dec.get_frame_corrupted()
+    d = dec._dec
+    assert d.mvs_corrupt_from is not None
+    assert d.corrupt_mb is not None and d.corrupt_mb.any()
+    # sanity only: losing half of partition 0 loses the residuals of the
+    # whole frame too (the partition size table follows partition 0), so
+    # intra MBs conceal to flat prediction — the gate is that the frame
+    # decodes, flags corruption, and the stream keeps going
+    assert _psnr(got[0][0], golden[0]) > 8.0
+    dec.decode(frames[4][0])
+    assert len(list(dec.get_frame())) == 1
