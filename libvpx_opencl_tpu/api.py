@@ -54,6 +54,8 @@ class CodecDecoder:
         self._frames = []
         self._corrupted = False
         self._fragments = []
+        self._mfqe_prev = None
+        self._mfqe_qprev = None
 
     # --- vpx_codec_decode (vpx_decoder.h:215) ---
     def decode(self, data: bytes | None):
@@ -85,10 +87,29 @@ class CodecDecoder:
         for fb in frames:
             y, u, v = fb.visible()
             if USE_POSTPROC in self.flags and self._pp.flags:
-                from .ops.postproc import post_proc_frame
-                y, u, v = post_proc_frame(
+                from .ops import postproc as PP
+                y, u, v = PP.post_proc_frame(
                     y, u, v, self._dec.base_qindex, self._pp.flags,
                     self._pp.noise_level)
+                if "mfqe" in self._pp.flags:
+                    # VP8D_MFQE (postproc.c:929-948): blend with the
+                    # previous enhanced output on quality jumps
+                    d = self._dec
+                    cur = (np.asarray(y), np.asarray(u), np.asarray(v))
+                    if (self._mfqe_prev is not None and
+                            self._mfqe_qprev is not None and
+                            d.base_qindex - self._mfqe_qprev >= 0):
+                        y, u, v = PP.mfqe_frame(
+                            cur, self._mfqe_prev, d.base_qindex,
+                            self._mfqe_qprev, d.mode, d.mv,
+                            keyframe=(d.frame_type == 0))
+                    self._mfqe_prev = (np.asarray(y), np.asarray(u),
+                                       np.asarray(v))
+                    self._mfqe_qprev = d.base_qindex
+                y, u, v = PP.debug_overlay(
+                    y, u, v, self._pp.flags,
+                    mode=getattr(self._dec, "mode", None),
+                    ref_frame=getattr(self._dec, "ref_frame", None))
             yield np.asarray(y), np.asarray(u), np.asarray(v)
 
     # --- control calls ---

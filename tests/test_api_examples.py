@@ -153,3 +153,36 @@ def test_multi_resolution_encoder_example(tmp_path):
         for p, _ in read_ivf(path).frames:
             show, planes = d.decode_frame(p)
             assert show and planes[0].shape == shape
+
+
+def test_mfqe_and_debug_overlays():
+    """VP8D_MFQE blending + mode/ref colorization (postproc.c:802,
+    vp8.h:44-47)."""
+    from libvpx_opencl_tpu.api import (CodecDecoder, PostProcCfg,
+                                       USE_POSTPROC)
+    from libvpx_opencl_tpu.utils.ivf import read_ivf
+    frames = read_ivf(vector("inter_qcif.ivf")).frames
+    plain = CodecDecoder(use_tpu=False)
+    dec = CodecDecoder(flags=(USE_POSTPROC,), use_tpu=False)
+    dec.set_postproc(PostProcCfg(flags={"deblock", "mfqe"}))
+    got = []
+    for payload, _ in frames[:4]:
+        plain.decode(payload)
+        dec.decode(payload)
+        got += list(dec.get_frame())
+    base = list(plain.get_frame())
+    assert len(got) == 4
+    # MFQE output stays a valid image close to the decode
+    d = got[-1][0].astype(np.int32) - base[-1][0].astype(np.int32)
+    assert (d * d).mean() < 400.0
+
+    ov = CodecDecoder(flags=(USE_POSTPROC,), use_tpu=False)
+    ov.set_postproc(PostProcCfg(flags={"debug_clr_blk_modes",
+                                       "debug_clr_frm_ref_blks"}))
+    ov.decode(frames[0][0])
+    y, u, v = next(iter(ov.get_frame()))
+    ov.decode(frames[1][0])
+    y2, u2, v2 = next(iter(ov.get_frame()))
+    # luma untouched, chroma tinted (differs from the plain decode)
+    assert np.array_equal(y2.shape, (144, 176))
+    assert not np.array_equal(u2, base[1][1])
