@@ -210,9 +210,21 @@ class CodecEncoder:
         payload = self._enc.encode_frame(y, u, v, keyframe=kf)
         if self._rc is not None:
             self._rc.update(self._enc.qindex, len(payload) * 8, kf)
-        pkt = {"kind": "frame", "data": payload, "pts": pts or self._count,
-               "keyframe": kf}
-        self._packets.append(pkt)
+        if USE_OUTPUT_PARTITION in self.flags:
+            # one VPX_FRAME_IS_FRAGMENT packet per partition
+            # (vpx_encoder.h:76,122; vp8e pack loop vp8_cx_iface.c)
+            chunks = getattr(self._enc, "last_partition_bytes",
+                             None) or [payload]
+            for i, chunk in enumerate(chunks):
+                self._packets.append(
+                    {"kind": "frame", "data": chunk,
+                     "pts": pts or self._count, "keyframe": kf,
+                     "partition_id": i,
+                     "fragment": i < len(chunks) - 1})
+        else:
+            pkt = {"kind": "frame", "data": payload,
+                   "pts": pts or self._count, "keyframe": kf}
+            self._packets.append(pkt)
         if USE_PSNR in self.flags:
             rec = self._ref_planes()
             from .ops.metrics import frame_psnr

@@ -1638,6 +1638,11 @@ class Encoder:
             show = 1 if getattr(self, "show_frame", True) else 0
             tag = (1 | (0 << 1) | (show << 4) | (len(part0) << 5))
             hdr = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+        # partition boundaries for VPX_CODEC_USE_OUTPUT_PARTITION
+        # (vpx_encoder.h:76): packet 0 is header+modes(+size table, kept
+        # so concatenating the fragments reproduces the normal stream),
+        # then one packet per token partition
+        self.last_partition_bytes = [hdr + part0 + sizes] + parts
         return hdr + part0 + part1
 
     def _pack_mb_modes(self, e, r, c, keyframe):

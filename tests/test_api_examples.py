@@ -186,3 +186,54 @@ def test_mfqe_and_debug_overlays():
     # luma untouched, chroma tinted (differs from the plain decode)
     assert np.array_equal(y2.shape, (144, 176))
     assert not np.array_equal(u2, base[1][1])
+
+
+def test_output_partition_packets(tmp_path):
+    """VPX_CODEC_USE_OUTPUT_PARTITION: per-partition fragment packets
+    that reassemble into the normal stream (vpx_encoder.h:76)."""
+    from libvpx_opencl_tpu.api import (CodecDecoder, CodecEncoder,
+                                       EncoderConfig, USE_INPUT_FRAGMENTS,
+                                       USE_OUTPUT_PARTITION)
+    rng = np.random.RandomState(3)
+    frames = [(rng.randint(0, 255, (64, 96), np.uint8),
+               np.full((32, 48), 128, np.uint8),
+               np.full((32, 48), 128, np.uint8)) for _ in range(3)]
+    cfg = EncoderConfig(width=96, height=64, token_partitions=2,
+                        end_usage="cq")
+    enc = CodecEncoder(cfg, flags=(USE_OUTPUT_PARTITION,), use_tpu=False)
+    dec = CodecDecoder(flags=(USE_INPUT_FRAGMENTS,), use_tpu=False)
+    plain = CodecDecoder(use_tpu=False)
+    for i, f in enumerate(frames):
+        enc.encode(f, pts=i)
+        pkts = [p for p in enc.get_cx_data() if p["kind"] == "frame"]
+        assert len(pkts) == 5  # header/modes + 4 token partitions
+        assert [p["partition_id"] for p in pkts] == [0, 1, 2, 3, 4]
+        assert pkts[-1]["fragment"] is False
+        whole = b"".join(p["data"] for p in pkts)
+        plain.decode(whole)
+        for p in pkts:
+            dec.decode(p["data"])
+        dec.decode(None)
+        a = next(iter(dec.get_frame()))
+        b = next(iter(plain.get_frame()))
+        assert np.array_equal(a[0], b[0])
+
+
+def test_bicubic_scaler():
+    """vpx_scale bicubic re-design (bicubic_scaler.c role)."""
+    from libvpx_opencl_tpu.ops.scale import (bicubic_scale_plane,
+                                             scale_frame)
+    rng = np.random.RandomState(0)
+    # smooth ramp: scaling up then back down must be near-lossless
+    ramp = np.tile(np.arange(176, dtype=np.uint8), (144, 1))
+    up = bicubic_scale_plane(ramp, 288, 352)
+    assert up.shape == (288, 352)
+    back = bicubic_scale_plane(up, 144, 176)
+    err = np.abs(back.astype(int) - ramp.astype(int))
+    assert err.mean() < 1.0
+    # identity when dims match
+    noise = rng.randint(0, 255, (48, 64), np.uint8)
+    assert np.array_equal(bicubic_scale_plane(noise, 48, 64), noise)
+    # 4-to-5 ratio (gen_scalers.c vp8_scale_4_to_5 role) + odd chroma
+    y, u, v = scale_frame(noise, noise[:24, :32], noise[:24, :32], 80, 60)
+    assert y.shape == (60, 80) and u.shape == (30, 40)
