@@ -45,3 +45,20 @@ def test_sharded_bit_exact_4dev(name):
     golden = load_golden_md5s(vector(f"{name}.ivf.md5"))
     got = _decode_sharded(name, 4)
     assert got == golden[:len(got)] and len(got) == len(golden), name
+
+
+@pytest.mark.parametrize("name", ["part4_cif", "inter_cif"])
+def test_sharded_bit_exact_cif_8dev(name):
+    """CIF geometry (18 MB rows) + the 4-token-partition stream across
+    the full 8-way mesh (VERDICT r2 item 8: scale past QCIF)."""
+    golden = load_golden_md5s(vector(f"{name}.ivf.md5"))
+    got = _decode_sharded(name, 8)
+    assert got == golden[:len(got)] and len(got) == len(golden), name
+
+
+def test_sharded_bit_exact_odd_dims():
+    """65x49 (non-multiple-of-16) on a 4-way mesh: grid padding +
+    visible-area cropping across shard boundaries."""
+    golden = load_golden_md5s(vector("odd_65x49.ivf.md5"))
+    got = _decode_sharded("odd_65x49", 4)
+    assert got == golden[:len(got)] and len(got) == len(golden)
