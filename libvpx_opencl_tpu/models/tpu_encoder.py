@@ -39,14 +39,18 @@ from .tpu_decoder import B, B2, DeviceFrame, _extend_borders
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _decide_device(R, C, ref_y, src_y_plane, src_y_blocks, centers, taps,
-                   lo_r, hi_r, lo_c, hi_c):
-    """Program A: motion search + intra costs + choice."""
+                   lo_r, hi_r, lo_c, hi_c, mvcost, pred8, sadpb):
+    """Program A: motion search with MV-rate costing + intra costs +
+    rate-aware inter/intra choice (the pickinter.c:563+ role: every SAD
+    comparison carries its mvsad_err_cost, mcomp.c:62-75)."""
     N = R * C
     mb = jnp.arange(N)
     mb_pos = jnp.stack([B + (mb // C) * 16, B + (mb % C) * 16], 1)
-    mv_fp, sad_fp = ME.full_search(ref_y, src_y_blocks, centers, mb_pos)
+    pen = (mvcost, pred8, sadpb)
+    mv_fp, sad_fp = ME.full_search(ref_y, src_y_blocks, centers, mb_pos,
+                                   mv_pen=pen)
     mv8, sad = ME.subpel_refine(ref_y, src_y_blocks, mb_pos, mv_fp, sad_fp,
-                                taps, (lo_r, hi_r, lo_c, hi_c))
+                                taps, (lo_r, hi_r, lo_c, hi_c), mv_pen=pen)
     icosts = ME.intra_mode_costs(src_y_plane, src_y_blocks, mb_pos, R, C, 16)
     ibest = jnp.argmin(icosts, axis=1)
     icost = jnp.min(icosts, axis=1)
@@ -195,9 +199,17 @@ class TPUEncoder(Encoder):
             hi = np.stack([(R - 1 - mbr) * 16 + 16, (C - 1 - mbc) * 16 + 16],
                           1)
             centers = np.clip(self.prev_mv >> 3, lo, hi)
+            # MV-rate cost tables + per-MB predictor (the previous frame's
+            # MV stands in for best_ref_mv, which is only known at pack
+            # time) + sad-per-bit at the frame quantizer
+            from . import rdopt
+            mvcost = j(np.stack([rdopt.MV_COST[0], rdopt.MV_COST[1]])
+                       .astype(np.int32))
+            pred8 = j(self.prev_mv.astype(np.int32))
+            sadpb = jnp.int32(int(ME.SAD_PER_BIT16[self.qindex]))
             mv8_d, sad, ibest, icost, use_inter = _decide_device(
                 R, C, self.ref.y, src_y_pl, yb, j(centers.astype(np.int32)),
-                taps, lo_r, hi_r, lo_c, hi_c)
+                taps, lo_r, hi_r, lo_c, hi_c, mvcost, pred8, sadpb)
             mv8 = np.array(mv8_d)
             intra = ~np.asarray(use_inter)
             ymode = np.asarray(ibest).astype(np.int32)

@@ -10,13 +10,29 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import predict as P
 
 RNG = 16  # full-pel search radius
 
+# sad_per_bit16lut (rdopt.c:152-185): SAD-domain rate weight per qindex
+SAD_PER_BIT16 = np.array(
+    [2] * 16 + [3] * 14 + [4] * 12 + [5] * 12 + [6] * 12 + [7] * 12 +
+    [8] * 12 + [9] * 12 + [10] * 8 + [11] * 6 + [12] * 6 + [13] * 4 +
+    [14] * 2, np.int32)
 
-def full_search(ref_plane, src_blocks, centers, mb_pos):
+
+def _mv_penalty(mvcost, d8_r, d8_c, sadpb):
+    """mvsad_err_cost (mcomp.c:62-75): component-cost lookup on the
+    1/4-pel grid, scaled by sad-per-bit."""
+    ir = jnp.clip(jnp.abs(d8_r) >> 1, 0, 1023)
+    ic = jnp.clip(jnp.abs(d8_c) >> 1, 0, 1023)
+    c = jnp.take(mvcost[0], ir) + jnp.take(mvcost[1], ic)
+    return (c * sadpb + 128) >> 8
+
+
+def full_search(ref_plane, src_blocks, centers, mb_pos, mv_pen=None):
     """Step-2 + refine full-pel search.
 
     ref_plane [H, W] uint8 padded; src_blocks [N, 16, 16] int32;
@@ -49,6 +65,20 @@ def full_search(ref_plane, src_blocks, centers, mb_pos):
 
     sads, cands = grid_sads(win, 2, -RNG, RNG)
     k = len(cands)
+    if mv_pen is not None:
+        # MV-rate costing over the whole grid (vp8_full_search_sad's
+        # mvsad_err_cost per candidate, mcomp.c:1432-1495)
+        mvcost, pred8, sadpb = mv_pen
+        cand_arr = jnp.asarray(cands)
+        d8_r = (centers[:, 0:1] + cand_arr[None, :]) * 8 - pred8[:, 0:1]
+        d8_c = (centers[:, 1:2] + cand_arr[None, :]) * 8 - pred8[:, 1:2]
+        ir = jnp.clip(jnp.abs(d8_r) >> 1, 0, 1023)
+        ic = jnp.clip(jnp.abs(d8_c) >> 1, 0, 1023)
+        pen_r = jnp.take(mvcost[0], ir)          # [N, k]
+        pen_c = jnp.take(mvcost[1], ic)          # [N, k]
+        spb = sadpb if jnp.ndim(sadpb) == 0 else sadpb[:, None, None]
+        sads = sads + (((pen_r[:, :, None] + pen_c[:, None, :]) * spb +
+                        128) >> 8)
     flat = sads.reshape(n, k * k)
     best = jnp.argmin(flat, axis=1)
     bdy = jnp.asarray(cands)[best // k]
@@ -66,6 +96,11 @@ def full_search(ref_plane, src_blocks, centers, mb_pos):
             idx_c = (cx + RNG)[:, None, None] + jnp.arange(16)[None, None, :]
             cand = win[jnp.arange(n)[:, None, None], idx_r, idx_c]
             sad = jnp.sum(jnp.abs(cand - src_blocks), axis=(1, 2))
+            if mv_pen is not None:
+                mvcost, pred8, sadpb = mv_pen
+                sad = sad + _mv_penalty(
+                    mvcost, (centers[:, 0] + cy) * 8 - pred8[:, 0],
+                    (centers[:, 1] + cx) * 8 - pred8[:, 1], sadpb)
             better = sad < best_sad
             best_sad = jnp.where(better, sad, best_sad)
             bmv = jnp.where(better[:, None], jnp.stack([cy, cx], 1), bmv)
@@ -73,7 +108,7 @@ def full_search(ref_plane, src_blocks, centers, mb_pos):
 
 
 def subpel_refine(ref_plane, src_blocks, mb_pos, mv_fp, best_sad, taps,
-                  bounds):
+                  bounds, mv_pen=None):
     """Half- then quarter-pel refine via the production MC kernel.
 
     mv_fp [N,2] full-pel; bounds (lo_r, hi_r, lo_c, hi_c) [N] arrays in
@@ -99,6 +134,12 @@ def subpel_refine(ref_plane, src_blocks, mb_pos, mv_fp, best_sad, taps,
                                     allc[:, 1] & 7, allc[:, 0] & 7, taps, 16)
         sads = jnp.sum(jnp.abs(preds - jnp.tile(src_blocks, (8, 1, 1))),
                        axis=(1, 2)).reshape(8, n)
+        if mv_pen is not None:
+            mvcost, pred8, sadpb = mv_pen
+            cmv8 = jnp.stack(cand_mvs, axis=0)  # [8, N, 2]
+            sads = sads + _mv_penalty(
+                mvcost, cmv8[:, :, 0] - pred8[None, :, 0],
+                cmv8[:, :, 1] - pred8[None, :, 1], sadpb)
         bi = jnp.argmin(sads, axis=0)
         bs = jnp.min(sads, axis=0)
         cmv = jnp.stack(cand_mvs, axis=0)  # [8, N, 2]

@@ -98,8 +98,8 @@ def main():
         cli_q = min(range(64), key=lambda i: abs(Q_TRANS[i] - args.q))
         ref_ivf = "/tmp/bench_enc_ref.ivf"
         cmd = [vpxenc, "--codec=vp8", "-o", ref_ivf, y4m, "--ivf",
-               "--good", "--cpu-used=4", "--end-usage=3",
-               f"--cq-level={cli_q}", f"--min-q={cli_q}",
+               "--good", "--cpu-used=4", "--end-usage=0",
+               "--target-bitrate=8000", f"--min-q={cli_q}",
                f"--max-q={cli_q}", "--kf-max-dist=9999",
                "--passes=1", "--threads=1", "-t", "1"]
         t0 = time.time()
@@ -112,8 +112,8 @@ def main():
         # realtime speed point (the fork's fastest honest CPU config)
         rt_ivf = "/tmp/bench_enc_rt.ivf"
         cmd = [vpxenc, "--codec=vp8", "-o", rt_ivf, y4m, "--ivf",
-               "--rt", "--cpu-used=8", "--end-usage=3",
-               f"--cq-level={cli_q}", f"--min-q={cli_q}",
+               "--rt", "--cpu-used=8", "--end-usage=0",
+               "--target-bitrate=8000", f"--min-q={cli_q}",
                f"--max-q={cli_q}", "--kf-max-dist=9999",
                "--passes=1", "--threads=1", "-t", "1"]
         t0 = time.time()
