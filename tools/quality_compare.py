@@ -92,6 +92,19 @@ def run_ours(frames, w, h, q, rd=True):
     return total + 32, clip_psnr(frames, decoded)
 
 
+def run_tpu(frames, w, h, q):
+    from libvpx_opencl_tpu.models.tpu_encoder import TPUEncoder
+    enc = TPUEncoder(w, h, qindex=q)
+    total = 0
+    decoded = []
+    for y, u, v in frames:
+        payload = enc.encode_frame(y, u, v)
+        total += len(payload) + 12
+        decoded.append(tuple(np.asarray(p).copy()
+                             for p in enc.ref.visible()))
+    return total + 32, clip_psnr(frames, decoded)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--w", type=int, default=352)
@@ -100,6 +113,8 @@ def main():
     ap.add_argument("--q", type=int, default=40)
     ap.add_argument("--sad", action="store_true",
                     help="also run the fast SAD path")
+    ap.add_argument("--tpu", action="store_true",
+                    help="also run the TPU device encoder")
     args = ap.parse_args()
 
     from tools.make_test_vectors import synth_clip
@@ -121,6 +136,12 @@ def main():
         print(f"ours (sad fast path)              qindex={qindex}: "
               f"{ssize}B  psnr={spsnr:.3f}dB  "
               f"size={100.0 * ssize / rsize:.1f}%")
+    if args.tpu:
+        tsize, tpsnr = run_tpu(frames, args.w, args.h, qindex)
+        print(f"ours (TPU device encoder)         qindex={qindex}: "
+              f"{tsize}B  psnr={tpsnr:.3f}dB  "
+              f"size={100.0 * tsize / rsize:.1f}%  "
+              f"dpsnr={tpsnr - rpsnr:+.3f}dB")
 
 
 if __name__ == "__main__":
