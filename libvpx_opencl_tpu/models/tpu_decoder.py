@@ -447,8 +447,13 @@ class TPUDecoder(RefDecoder):
         """Join the dispatch worker (before any main-thread access to the
         device reference ring: _alloc, concealment, get/set_reference)."""
         if self._pending is not None:
-            self._pending.result()
-            self._pending = None
+            try:
+                self._pending.result()
+            finally:
+                # clear even on failure: a dispatch-worker exception must
+                # surface exactly once, leaving the reference ring at the
+                # last committed frame so the stream can continue
+                self._pending = None
 
     def conceal_missing_frame(self):
         self._sync()

@@ -25,3 +25,34 @@ def test_tpu_decoder_bit_exact(name):
         assert frame_md5(y, u, v) == golden[i], f"{name} frame {i}"
         n += 1
     assert n == len(golden)
+
+
+def test_dispatch_worker_failure_path():
+    """A dispatch-worker exception surfaces exactly once on the next
+    sync/pixel access, and the decoder's reference ring stays at the last
+    committed frame so the stream keeps decoding (VERDICT r2 weak #10)."""
+    import pytest
+    from libvpx_opencl_tpu.models.tpu_decoder import TPUDecoder
+    from libvpx_opencl_tpu.utils.ivf import read_ivf
+    from libvpx_opencl_tpu.utils.md5 import frame_md5, load_golden_md5s
+    frames = read_ivf(vector("inter_qcif.ivf")).frames
+    golden = load_golden_md5s(vector("inter_qcif.ivf.md5"))
+    dec = TPUDecoder()
+    dec.decode_frame_core(frames[0][0])
+    assert frame_md5(*dec.frame_to_show.visible()) == golden[0]
+
+    real = dec._worker_dispatch
+
+    def boom(np_args, meta):
+        raise RuntimeError("injected dispatch failure")
+
+    dec._worker_dispatch = boom
+    dec.decode_frame_core(frames[1][0])
+    with pytest.raises(RuntimeError, match="injected"):
+        dec.frame_to_show.visible()
+    # exception is not sticky...
+    dec._worker_dispatch = real
+    # ...but frame 1's device work never ran, so re-sync and re-feed:
+    # the ring still holds frame 0; redecoding frame 1 must be exact
+    dec.decode_frame_core(frames[1][0])
+    assert frame_md5(*dec.frame_to_show.visible()) == golden[1]
