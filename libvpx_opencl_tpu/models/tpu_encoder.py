@@ -28,40 +28,156 @@ import numpy as np
 
 from ..ops import me as ME
 from ..ops import predict as P
+from ..ops import rd_device as RD
+from ..ops import tables as T
 from ..ops import transforms as tf
 from . import refdec, wavefront as wf
-from .encoder import Encoder, _uv_mv
+from .encoder import Encoder, _default_token_costs, _uv_mv
 from .refdec import (DC_PRED, V_PRED, H_PRED, TM_PRED, ZEROMV, NEWMV,
                      NEARESTMV, NEARMV, INTRA_FRAME, LAST_FRAME, BORDER,
                      dequant_factors)
 from .tpu_decoder import B, B2, DeviceFrame, _extend_borders
 
+_TCB = None
+
+
+def _tcb_tables():
+    """Banded device token-cost tables under the default coefficient
+    probabilities (the golden encoder's _tc model)."""
+    global _TCB
+    if _TCB is None:
+        tc = _default_token_costs()
+        _TCB = tuple(RD.banded_token_costs(tc, t) for t in range(3))
+    return _TCB
+
+
+def _uv_inter_rd(R, C, ref_u, ref_v, ub, vb, mv8, taps, dqu, tcb2):
+    """Chroma rate/dist of an inter candidate: derive the chroma MV
+    (reconinter.c:418-424), MC-predict, cost (rd_inter16x16_uv role)."""
+    N = R * C
+    mb = jnp.arange(N)
+    mb_r, mb_c = mb // C, mb % C
+    w_r = mv8[:, 0] + jnp.where(mv8[:, 0] >= 0, 1, -1)
+    w_c = mv8[:, 1] + jnp.where(mv8[:, 1] >= 0, 1, -1)
+    uv_r = jnp.sign(w_r) * (jnp.abs(w_r) // 2)
+    uv_c = jnp.sign(w_c) * (jnp.abs(w_c) // 2)
+    csy = B2 + mb_r * 8 + (uv_r >> 3)
+    csx = B2 + mb_c * 8 + (uv_c >> 3)
+    cstarts = jnp.stack([csy, csx], 1)
+    zero = jnp.zeros(N, jnp.int32)
+    pu = P.mc_predict_blocks(ref_u[None], zero, cstarts, uv_c & 7,
+                             uv_r & 7, taps, 8)
+    pv = P.mc_predict_blocks(ref_v[None], zero, cstarts, uv_c & 7,
+                             uv_r & 7, taps, 8)
+    return RD.rd_uv(ub - pu, vb - pv, dqu, tcb2)
+
+
+def _uv_intra_rd(R, C, src_u_pl, src_v_pl, ub, vb, dqu, tcb2, uvmode_cost,
+                 rdmult, rddiv):
+    """RD-pick the chroma intra mode (rd_pick_intra_mbuv_mode role).
+    Returns (best mode [N], its rate incl. signaling [N], dist [N])."""
+    N = R * C
+    mb = jnp.arange(N)
+    cpos = jnp.stack([B2 + (mb // C) * 8, B2 + (mb % C) * 8], 1)
+    ipu = jnp.moveaxis(ME.intra_mode_preds(src_u_pl, cpos, R, C, 8), 1, 0)
+    ipv = jnp.moveaxis(ME.intra_mode_preds(src_v_pl, cpos, R, C, 8), 1, 0)
+    dqub = jnp.broadcast_to(dqu[None], (4, N, 2))
+    ruv, duv = RD.rd_uv(ub[None] - ipu, vb[None] - ipv, dqub, tcb2)
+    ruv = ruv + uvmode_cost[:, None]
+    rd_ = RD.rdc(ruv, duv / 4.0, rdmult, rddiv)
+    best = jnp.argmin(rd_, axis=0)
+    ar = jnp.arange(N)
+    return best.astype(jnp.int32), ruv[best, ar], duv[best, ar]
+
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _decide_device(R, C, ref_y, src_y_plane, src_y_blocks, centers, taps,
-                   lo_r, hi_r, lo_c, hi_c, mvcost, pred8, sadpb):
-    """Program A: motion search with MV-rate costing + intra costs +
-    rate-aware inter/intra choice (the pickinter.c:563+ role: every SAD
-    comparison carries its mvsad_err_cost, mcomp.c:62-75)."""
+def _decide_rd_inter(R, C, ref_y, ref_u, ref_v, src_y_pl, src_u_pl,
+                     src_v_pl, yb, ub, vb, centers, taps,
+                     lo_r, hi_r, lo_c, hi_c, mvcost, pred8, sadpb,
+                     tcb0, tcb1, tcb2, dq1, dq2, dqu, rdmult, rddiv,
+                     ymode_cost, uvmode_cost, ci0, ci1, czero, cnew):
+    """Program A (RD form): motion search + token-cost RD mode decision
+    over {DC,V,H,TM, ZEROMV, NEWMV} — the vp8_rd_pick_inter_mode role
+    (rdopt.c:1714) batched over every MB at once.  Intra predictions come
+    from source neighbors (decision approximation; the encode wavefront
+    reconstructs from true neighbors)."""
+    N = R * C
+    mb = jnp.arange(N)
+    mb_r, mb_c = mb // C, mb % C
+    mb_pos = jnp.stack([B + mb_r * 16, B + mb_c * 16], 1)
+    pen = (mvcost, pred8, sadpb)
+    mv_fp, sad_fp = ME.full_search(ref_y, yb, centers, mb_pos, mv_pen=pen)
+    mv8, _sad = ME.subpel_refine(ref_y, yb, mb_pos, mv_fp, sad_fp,
+                                 taps, (lo_r, hi_r, lo_c, hi_c), mv_pen=pen)
+    # Y candidates: 4 intra + ZEROMV + NEWMV
+    ipreds = jnp.moveaxis(ME.intra_mode_preds(src_y_pl, mb_pos, R, C, 16),
+                          1, 0)                       # [4,N,16,16]
+    zero = jnp.zeros(N, jnp.int32)
+    sy = B + mb_r * 16 + (mv8[:, 0] >> 3)
+    sx = B + mb_c * 16 + (mv8[:, 1] >> 3)
+    pred_new = P.mc_predict_blocks(ref_y[None], zero, jnp.stack([sy, sx], 1),
+                                   mv8[:, 1] & 7, mv8[:, 0] & 7, taps, 16)
+    pred_zero = P.mc_predict_blocks(ref_y[None], zero, mb_pos, zero, zero,
+                                    taps, 16)
+    preds = jnp.concatenate([ipreds, pred_zero[None], pred_new[None]], 0)
+    K = 6
+    dq1b = jnp.broadcast_to(dq1[None], (K, N, 2))
+    dq2b = jnp.broadcast_to(dq2[None], (K, N, 2))
+    ry, dy, _ = RD.rd_y16(yb[None] - preds, dq1b, dq2b, tcb0, tcb1)
+    # UV: best intra mode (shared by intra candidates) + per-inter-MV cost
+    uvbest, ruv_i, duv_i = _uv_intra_rd(R, C, src_u_pl, src_v_pl, ub, vb,
+                                        dqu, tcb2, uvmode_cost, rdmult,
+                                        rddiv)
+    ruv_z, duv_z = _uv_inter_rd(R, C, ref_u, ref_v, ub, vb,
+                                jnp.zeros_like(mv8), taps, dqu, tcb2)
+    ruv_n, duv_n = _uv_inter_rd(R, C, ref_u, ref_v, ub, vb, mv8, taps,
+                                dqu, tcb2)
+    # NEWMV signaling cost (vp8_mv_bit_cost, weight 96)
+    dr = jnp.clip(jnp.abs(mv8[:, 0] - pred8[:, 0]) >> 1, 0, 1023)
+    dc_ = jnp.clip(jnp.abs(mv8[:, 1] - pred8[:, 1]) >> 1, 0, 1023)
+    mvc = ((jnp.take(mvcost[0], dr) + jnp.take(mvcost[1], dc_)) * 96) >> 7
+    rate = jnp.stack(
+        [ci0 + ymode_cost[m] + ry[m] + ruv_i for m in range(4)] +
+        [ci1 + czero + ry[4] + ruv_z,
+         ci1 + cnew + mvc + ry[5] + ruv_n], 0)
+    dist = jnp.stack(
+        [dy[m] / 4.0 + duv_i / 4.0 for m in range(4)] +
+        [dy[4] / 4.0 + duv_z / 4.0, dy[5] / 4.0 + duv_n / 4.0], 0)
+    rdall = RD.rdc(rate, dist, rdmult, rddiv)
+    best = jnp.argmin(rdall, axis=0)
+    ymode = jnp.argmin(rdall[:4], axis=0).astype(jnp.int32)
+    use_inter = best >= 4
+    mv_out = jnp.where((best == 5)[:, None], mv8, 0)
+    return mv_out, use_inter, ymode, uvbest
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _decide_rd_key(R, C, src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
+                   tcb0, tcb1, tcb2, dq1, dq2, dqu, rdmult, rddiv,
+                   ymode_cost, uvmode_cost):
+    """Keyframe RD decision over {DC,V,H,TM} (vp8_rd_pick_intra_mode
+    role, rdopt.c:2374)."""
     N = R * C
     mb = jnp.arange(N)
     mb_pos = jnp.stack([B + (mb // C) * 16, B + (mb % C) * 16], 1)
-    pen = (mvcost, pred8, sadpb)
-    mv_fp, sad_fp = ME.full_search(ref_y, src_y_blocks, centers, mb_pos,
-                                   mv_pen=pen)
-    mv8, sad = ME.subpel_refine(ref_y, src_y_blocks, mb_pos, mv_fp, sad_fp,
-                                taps, (lo_r, hi_r, lo_c, hi_c), mv_pen=pen)
-    icosts = ME.intra_mode_costs(src_y_plane, src_y_blocks, mb_pos, R, C, 16)
-    ibest = jnp.argmin(icosts, axis=1)
-    icost = jnp.min(icosts, axis=1)
-    use_inter = sad + 300 < icost
-    return mv8, sad, ibest.astype(jnp.int32), icost, use_inter
+    ipreds = jnp.moveaxis(ME.intra_mode_preds(src_y_pl, mb_pos, R, C, 16),
+                          1, 0)
+    dq1b = jnp.broadcast_to(dq1[None], (4, N, 2))
+    dq2b = jnp.broadcast_to(dq2[None], (4, N, 2))
+    ry, dy, _ = RD.rd_y16(yb[None] - ipreds, dq1b, dq2b, tcb0, tcb1)
+    uvbest, ruv_i, duv_i = _uv_intra_rd(R, C, src_u_pl, src_v_pl, ub, vb,
+                                        dqu, tcb2, uvmode_cost, rdmult,
+                                        rddiv)
+    rate = ymode_cost[:, None] + ry + ruv_i[None]
+    dist = dy / 4.0 + duv_i[None] / 4.0
+    rdall = RD.rdc(rate, dist, rdmult, rddiv)
+    ymode = jnp.argmin(rdall, axis=0).astype(jnp.int32)
+    return ymode, uvbest
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _encode_device(R, C, ref_y, ref_u, ref_v,
                    src_y_blocks, src_u_blocks, src_v_blocks,
-                   src_u_plane, src_v_plane,
                    mode, uv_mode, intra, mv8, taps, dq_y1, dq_y2, dq_uv):
     """Program B: MC preds + encode wavefront."""
     N = R * C
@@ -86,12 +202,8 @@ def _encode_device(R, C, ref_y, ref_u, ref_v,
                                  uv_r & 7, taps, 8)
     pred_v = P.mc_predict_blocks(ref_v[None], zero, cstarts, uv_c & 7,
                                  uv_r & 7, taps, 8)
-    # chroma intra mode for intra MBs
-    cpos = jnp.stack([B2 + mb_r * 8, B2 + mb_c * 8], 1)
-    ucost = ME.intra_mode_costs(src_u_plane, src_u_blocks, cpos, R, C, 8)
-    vcost = ME.intra_mode_costs(src_v_plane, src_v_blocks, cpos, R, C, 8)
-    uvm = jnp.argmin(ucost + vcost, axis=1).astype(jnp.int32)
-    uv_mode = jnp.where(intra, uvm, DC_PRED)
+    # chroma intra mode: RD-chosen by the decision program for intra MBs
+    uv_mode = jnp.where(intra, uv_mode, DC_PRED)
 
     qcoeff, eobs, ry, ru, rv = wf.encode_recon_blocks(
         R, C, sch, src_y_blocks, src_u_blocks, src_v_blocks,
@@ -187,34 +299,6 @@ class TPUEncoder(Encoder):
         lo_c = j(((-(mbc * 16) - 16) * 8).astype(np.int32))
         hi_c = j((((C - 1 - mbc) * 16 + 16) * 8).astype(np.int32))
 
-        if keyframe:
-            mv8 = np.zeros((N, 2), np.int32)
-            intra = np.ones(N, bool)
-            # intra mode choice on device
-            mb_pos = np.stack([B + mbr * 16, B + mbc * 16], 1)
-            icosts = ME.intra_mode_costs(src_y_pl, yb, j(mb_pos), R, C, 16)
-            ymode = np.asarray(jnp.argmin(icosts, axis=1)).astype(np.int32)
-        else:
-            lo = np.stack([-(mbr * 16) - 16, -(mbc * 16) - 16], 1)
-            hi = np.stack([(R - 1 - mbr) * 16 + 16, (C - 1 - mbc) * 16 + 16],
-                          1)
-            centers = np.clip(self.prev_mv >> 3, lo, hi)
-            # MV-rate cost tables + per-MB predictor (the previous frame's
-            # MV stands in for best_ref_mv, which is only known at pack
-            # time) + sad-per-bit at the frame quantizer
-            from . import rdopt
-            mvcost = j(np.stack([rdopt.MV_COST[0], rdopt.MV_COST[1]])
-                       .astype(np.int32))
-            pred8 = j(self.prev_mv.astype(np.int32))
-            sadpb = jnp.int32(int(ME.SAD_PER_BIT16[self.qindex]))
-            mv8_d, sad, ibest, icost, use_inter = _decide_device(
-                R, C, self.ref.y, src_y_pl, yb, j(centers.astype(np.int32)),
-                taps, lo_r, hi_r, lo_c, hi_c, mvcost, pred8, sadpb)
-            mv8 = np.array(mv8_d)
-            intra = ~np.asarray(use_inter)
-            ymode = np.asarray(ibest).astype(np.int32)
-            mv8[intra] = 0
-
         dqs = dequant_factors(self.qindex, 0, 0, 0, 0, 0)
         self.dq_y1, self.dq_y2, self.dq_uv = dqs
         if self.seg_map_enc is not None:
@@ -234,10 +318,65 @@ class TPUEncoder(Encoder):
             dq2 = j(np.tile(np.asarray(dqs[1], np.int32), (N, 1)))
             dqu = j(np.tile(np.asarray(dqs[2], np.int32), (N, 1)))
 
+        # RD decision constants (vp8_initialize_rd_consts behavior)
+        from . import rdopt
+        rdm, rdd, _epb = rdopt.rd_consts(self.qindex)
+        rdm_f = jnp.float32(rdm)
+        rdd_f = jnp.float32(rdd)
+        tcb0, tcb1, tcb2 = _tcb_tables()
+
+        if keyframe:
+            mv8 = np.zeros((N, 2), np.int32)
+            intra = np.ones(N, bool)
+            ymode_d, uvb_d = _decide_rd_key(
+                R, C, src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
+                tcb0, tcb1, tcb2, dq1, dq2, dqu, rdm_f, rdd_f,
+                j(np.asarray(rdopt.KF_YMODE_COST[:4], np.int32)),
+                j(np.asarray(rdopt.KF_UV_MODE_COST, np.int32)))
+            ymode = np.asarray(ymode_d).astype(np.int32)
+            uvmode = np.asarray(uvb_d).astype(np.int32)
+        else:
+            lo = np.stack([-(mbr * 16) - 16, -(mbc * 16) - 16], 1)
+            hi = np.stack([(R - 1 - mbr) * 16 + 16, (C - 1 - mbc) * 16 + 16],
+                          1)
+            centers = np.clip(self.prev_mv >> 3, lo, hi)
+            # MV-rate cost tables + per-MB predictor (the previous frame's
+            # MV stands in for best_ref_mv, which is only known at pack
+            # time) + sad-per-bit at the frame quantizer
+            mvcost = j(np.stack([rdopt.MV_COST[0], rdopt.MV_COST[1]])
+                       .astype(np.int32))
+            pred8 = j(self.prev_mv.astype(np.int32))
+            sadpb = jnp.int32(int(ME.SAD_PER_BIT16[self.qindex]))
+            # mode signaling costs: intra/inter + mv_ref under a
+            # prev-motion-conditioned context (probs are only exactly
+            # known at pack time)
+            ci0 = jnp.int32(rdopt.cost0(self.prob_intra))
+            ci1 = jnp.int32(rdopt.cost1(self.prob_intra) +
+                            rdopt.cost0(self.prob_last))
+            rows = np.where((self.prev_mv == 0).all(1), 4, 2)
+            pr = np.asarray(T.MODE_CONTEXTS)[rows]     # [N, 4]
+            czero = rdopt._C0[pr[:, 0]].astype(np.int32)
+            cnew = (rdopt._C1[pr[:, 0]] + rdopt._C1[pr[:, 1]] +
+                    rdopt._C1[pr[:, 2]] + rdopt._C0[pr[:, 3]]) \
+                .astype(np.int32)
+            mv8_d, use_inter, ymode_d, uvb_d = _decide_rd_inter(
+                R, C, self.ref.y, self.ref.u, self.ref.v,
+                src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
+                j(centers.astype(np.int32)), taps, lo_r, hi_r, lo_c, hi_c,
+                mvcost, pred8, sadpb, tcb0, tcb1, tcb2, dq1, dq2, dqu,
+                rdm_f, rdd_f,
+                j(np.asarray(rdopt.YMODE_COST[:4], np.int32)),
+                j(np.asarray(rdopt.UV_MODE_COST, np.int32)),
+                ci0, ci1, j(czero), j(cnew))
+            mv8 = np.array(mv8_d)
+            intra = ~np.asarray(use_inter)
+            ymode = np.asarray(ymode_d).astype(np.int32)
+            uvmode = np.asarray(uvb_d).astype(np.int32)
+
         mode_dev = j(ymode.astype(np.int32))
         qcoeff, eobs, uv_mode_d, ry, ru, rv = _encode_device(
             R, C, self.ref.y, self.ref.u, self.ref.v, yb, ub, vb,
-            src_u_pl, src_v_pl, mode_dev, j(np.zeros(N, np.int32)),
+            mode_dev, j(uvmode),
             j(intra), j(mv8.astype(np.int32)), taps, dq1, dq2, dqu)
         qcoeff, eobs, uv_mode = jax.device_get((qcoeff, eobs, uv_mode_d))
 

@@ -150,12 +150,11 @@ def subpel_refine(ref_plane, src_blocks, mb_pos, mv_fp, best_sad, taps,
     return mv, best_sad
 
 
-def intra_mode_costs(src_plane, src_blocks, mb_pos, n_rows, n_cols, bw):
-    """Batched DC/V/H/TM cost vs SOURCE neighbors (decision approximation;
-    reconstruction later uses true recon neighbors in the wavefront).
-
-    Returns (costs [N, 4], preds not returned). src_plane padded uint8."""
-    n = src_blocks.shape[0]
+def intra_mode_preds(src_plane, mb_pos, n_rows, n_cols, bw):
+    """Batched DC/V/H/TM 16x16/8x8 predictions from SOURCE neighbors
+    (decision approximation; reconstruction later uses true recon
+    neighbors in the wavefront).  Returns [N, 4, bw, bw] int32."""
+    n = mb_pos.shape[0]
 
     def gather(py, px):
         above = jax.lax.dynamic_slice(src_plane, (py - 1, px - 1),
@@ -183,7 +182,10 @@ def intra_mode_costs(src_plane, src_blocks, mb_pos, n_rows, n_cols, bw):
     pred_h = jnp.tile(left_x[:, :, None], (1, 1, bw))
     pred_tm = jnp.clip(left_x[:, :, None] + above[:, None, :]
                        - tl[:, None, None], 0, 255)
-    costs = jnp.stack(
-        [jnp.sum(jnp.abs(p - src_blocks), axis=(1, 2))
-         for p in (pred_dc, pred_v, pred_h, pred_tm)], axis=1)
-    return costs
+    return jnp.stack([pred_dc, pred_v, pred_h, pred_tm], axis=1)
+
+
+def intra_mode_costs(src_plane, src_blocks, mb_pos, n_rows, n_cols, bw):
+    """Batched DC/V/H/TM SAD cost vs SOURCE neighbors. [N, 4]."""
+    preds = intra_mode_preds(src_plane, mb_pos, n_rows, n_cols, bw)
+    return jnp.sum(jnp.abs(preds - src_blocks[:, None]), axis=(2, 3))
