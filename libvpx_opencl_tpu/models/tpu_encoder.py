@@ -51,7 +51,7 @@ def _tcb_tables():
     return _TCB
 
 
-def _uv_inter_rd(R, C, ref_u, ref_v, ub, vb, mv8, taps, dqu, tcb2):
+def _uv_inter_rd(R, C, ref_u, ref_v, ub, vb, mv8, taps, dqu, qidx, tcb2):
     """Chroma rate/dist of an inter candidate: derive the chroma MV
     (reconinter.c:418-424), MC-predict, cost (rd_inter16x16_uv role)."""
     N = R * C
@@ -69,11 +69,11 @@ def _uv_inter_rd(R, C, ref_u, ref_v, ub, vb, mv8, taps, dqu, tcb2):
                              uv_r & 7, taps, 8)
     pv = P.mc_predict_blocks(ref_v[None], zero, cstarts, uv_c & 7,
                              uv_r & 7, taps, 8)
-    return RD.rd_uv(ub - pu, vb - pv, dqu, tcb2)
+    return RD.rd_uv(ub - pu, vb - pv, dqu, qidx, tcb2)
 
 
-def _uv_intra_rd(R, C, src_u_pl, src_v_pl, ub, vb, dqu, tcb2, uvmode_cost,
-                 rdmult, rddiv):
+def _uv_intra_rd(R, C, src_u_pl, src_v_pl, ub, vb, dqu, qidx, tcb2,
+                 uvmode_cost, rdmult, rddiv):
     """RD-pick the chroma intra mode (rd_pick_intra_mbuv_mode role).
     Returns (best mode [N], its rate incl. signaling [N], dist [N])."""
     N = R * C
@@ -82,7 +82,8 @@ def _uv_intra_rd(R, C, src_u_pl, src_v_pl, ub, vb, dqu, tcb2, uvmode_cost,
     ipu = jnp.moveaxis(ME.intra_mode_preds(src_u_pl, cpos, R, C, 8), 1, 0)
     ipv = jnp.moveaxis(ME.intra_mode_preds(src_v_pl, cpos, R, C, 8), 1, 0)
     dqub = jnp.broadcast_to(dqu[None], (4, N, 2))
-    ruv, duv = RD.rd_uv(ub[None] - ipu, vb[None] - ipv, dqub, tcb2)
+    qxb = jnp.broadcast_to(qidx[None], (4, N))
+    ruv, duv = RD.rd_uv(ub[None] - ipu, vb[None] - ipv, dqub, qxb, tcb2)
     ruv = ruv + uvmode_cost[:, None]
     rd_ = RD.rdc(ruv, duv / 4.0, rdmult, rddiv)
     best = jnp.argmin(rd_, axis=0)
@@ -94,7 +95,7 @@ def _uv_intra_rd(R, C, src_u_pl, src_v_pl, ub, vb, dqu, tcb2, uvmode_cost,
 def _decide_rd_inter(R, C, ref_y, ref_u, ref_v, src_y_pl, src_u_pl,
                      src_v_pl, yb, ub, vb, centers, taps,
                      lo_r, hi_r, lo_c, hi_c, mvcost, pred8, sadpb,
-                     tcb0, tcb1, tcb2, dq1, dq2, dqu, rdmult, rddiv,
+                     tcb0, tcb1, tcb2, dq1, dq2, dqu, qidx, rdmult, rddiv,
                      ymode_cost, uvmode_cost, ci0, ci1, czero, cnew):
     """Program A (RD form): motion search + token-cost RD mode decision
     over {DC,V,H,TM, ZEROMV, NEWMV} — the vp8_rd_pick_inter_mode role
@@ -123,15 +124,16 @@ def _decide_rd_inter(R, C, ref_y, ref_u, ref_v, src_y_pl, src_u_pl,
     K = 6
     dq1b = jnp.broadcast_to(dq1[None], (K, N, 2))
     dq2b = jnp.broadcast_to(dq2[None], (K, N, 2))
-    ry, dy, _ = RD.rd_y16(yb[None] - preds, dq1b, dq2b, tcb0, tcb1)
+    qxb = jnp.broadcast_to(qidx[None], (K, N))
+    ry, dy, _ = RD.rd_y16(yb[None] - preds, dq1b, dq2b, qxb, tcb0, tcb1)
     # UV: best intra mode (shared by intra candidates) + per-inter-MV cost
     uvbest, ruv_i, duv_i = _uv_intra_rd(R, C, src_u_pl, src_v_pl, ub, vb,
-                                        dqu, tcb2, uvmode_cost, rdmult,
-                                        rddiv)
+                                        dqu, qidx, tcb2, uvmode_cost,
+                                        rdmult, rddiv)
     ruv_z, duv_z = _uv_inter_rd(R, C, ref_u, ref_v, ub, vb,
-                                jnp.zeros_like(mv8), taps, dqu, tcb2)
+                                jnp.zeros_like(mv8), taps, dqu, qidx, tcb2)
     ruv_n, duv_n = _uv_inter_rd(R, C, ref_u, ref_v, ub, vb, mv8, taps,
-                                dqu, tcb2)
+                                dqu, qidx, tcb2)
     # NEWMV signaling cost (vp8_mv_bit_cost, weight 96)
     dr = jnp.clip(jnp.abs(mv8[:, 0] - pred8[:, 0]) >> 1, 0, 1023)
     dc_ = jnp.clip(jnp.abs(mv8[:, 1] - pred8[:, 1]) >> 1, 0, 1023)
@@ -153,7 +155,7 @@ def _decide_rd_inter(R, C, ref_y, ref_u, ref_v, src_y_pl, src_u_pl,
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _decide_rd_key(R, C, src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
-                   tcb0, tcb1, tcb2, dq1, dq2, dqu, rdmult, rddiv,
+                   tcb0, tcb1, tcb2, dq1, dq2, dqu, qidx, rdmult, rddiv,
                    ymode_cost, uvmode_cost):
     """Keyframe RD decision over {DC,V,H,TM} (vp8_rd_pick_intra_mode
     role, rdopt.c:2374)."""
@@ -164,10 +166,11 @@ def _decide_rd_key(R, C, src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
                           1, 0)
     dq1b = jnp.broadcast_to(dq1[None], (4, N, 2))
     dq2b = jnp.broadcast_to(dq2[None], (4, N, 2))
-    ry, dy, _ = RD.rd_y16(yb[None] - ipreds, dq1b, dq2b, tcb0, tcb1)
+    qxb = jnp.broadcast_to(qidx[None], (4, N))
+    ry, dy, _ = RD.rd_y16(yb[None] - ipreds, dq1b, dq2b, qxb, tcb0, tcb1)
     uvbest, ruv_i, duv_i = _uv_intra_rd(R, C, src_u_pl, src_v_pl, ub, vb,
-                                        dqu, tcb2, uvmode_cost, rdmult,
-                                        rddiv)
+                                        dqu, qidx, tcb2, uvmode_cost,
+                                        rdmult, rddiv)
     rate = ymode_cost[:, None] + ry + ruv_i[None]
     dist = dy / 4.0 + duv_i[None] / 4.0
     rdall = RD.rdc(rate, dist, rdmult, rddiv)
@@ -178,7 +181,8 @@ def _decide_rd_key(R, C, src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _encode_device(R, C, ref_y, ref_u, ref_v,
                    src_y_blocks, src_u_blocks, src_v_blocks,
-                   mode, uv_mode, intra, mv8, taps, dq_y1, dq_y2, dq_uv):
+                   mode, uv_mode, intra, mv8, taps, dq_y1, dq_y2, dq_uv,
+                   qidx):
     """Program B: MC preds + encode wavefront."""
     N = R * C
     sch = wf.schedule(R, C)
@@ -207,7 +211,8 @@ def _encode_device(R, C, ref_y, ref_u, ref_v,
 
     qcoeff, eobs, ry, ru, rv = wf.encode_recon_blocks(
         R, C, sch, src_y_blocks, src_u_blocks, src_v_blocks,
-        pred_y, pred_u, pred_v, mode, uv_mode, intra, dq_y1, dq_y2, dq_uv)
+        pred_y, pred_u, pred_v, mode, uv_mode, intra, dq_y1, dq_y2, dq_uv,
+        qidx)
     return (qcoeff.astype(jnp.int16), eobs.astype(jnp.int32), uv_mode,
             ry, ru, rv)
 
@@ -318,6 +323,15 @@ class TPUEncoder(Encoder):
             dq2 = j(np.tile(np.asarray(dqs[1], np.int32), (N, 1)))
             dqu = j(np.tile(np.asarray(dqs[2], np.int32), (N, 1)))
 
+        # per-MB quantizer index (zbin factor + RD), segment-aware
+        if self.seg_map_enc is not None:
+            qdel = np.asarray(self.seg_q_deltas, np.int32)
+            qx_np = np.clip(self.qindex + qdel[self.seg_map_enc.reshape(N)],
+                            0, 127).astype(np.int32)
+        else:
+            qx_np = np.full(N, self.qindex, np.int32)
+        qidx = j(qx_np)
+
         # RD decision constants (vp8_initialize_rd_consts behavior)
         from . import rdopt
         rdm, rdd, _epb = rdopt.rd_consts(self.qindex)
@@ -330,7 +344,7 @@ class TPUEncoder(Encoder):
             intra = np.ones(N, bool)
             ymode_d, uvb_d = _decide_rd_key(
                 R, C, src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
-                tcb0, tcb1, tcb2, dq1, dq2, dqu, rdm_f, rdd_f,
+                tcb0, tcb1, tcb2, dq1, dq2, dqu, qidx, rdm_f, rdd_f,
                 j(np.asarray(rdopt.KF_YMODE_COST[:4], np.int32)),
                 j(np.asarray(rdopt.KF_UV_MODE_COST, np.int32)))
             ymode = np.asarray(ymode_d).astype(np.int32)
@@ -364,7 +378,7 @@ class TPUEncoder(Encoder):
                 src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
                 j(centers.astype(np.int32)), taps, lo_r, hi_r, lo_c, hi_c,
                 mvcost, pred8, sadpb, tcb0, tcb1, tcb2, dq1, dq2, dqu,
-                rdm_f, rdd_f,
+                qidx, rdm_f, rdd_f,
                 j(np.asarray(rdopt.YMODE_COST[:4], np.int32)),
                 j(np.asarray(rdopt.UV_MODE_COST, np.int32)),
                 ci0, ci1, j(czero), j(cnew))
@@ -377,7 +391,7 @@ class TPUEncoder(Encoder):
         qcoeff, eobs, uv_mode_d, ry, ru, rv = _encode_device(
             R, C, self.ref.y, self.ref.u, self.ref.v, yb, ub, vb,
             mode_dev, j(uvmode),
-            j(intra), j(mv8.astype(np.int32)), taps, dq1, dq2, dqu)
+            j(intra), j(mv8.astype(np.int32)), taps, dq1, dq2, dqu, qidx)
         qcoeff, eobs, uv_mode = jax.device_get((qcoeff, eobs, uv_mode_d))
 
         # host-side grids for packing

@@ -247,7 +247,7 @@ SPLITMV_M = 9
 
 def encode_recon_blocks(R, C, sch, src_y_b, src_u_b, src_v_b,
                         inter_y, inter_u, inter_v,
-                        mode, uv_mode, intra, dq_y1, dq_y2, dq_uv):
+                        mode, uv_mode, intra, dq_y1, dq_y2, dq_uv, qidx):
     """Whole-frame encode pass over the wavefront (the encoder twin of
     intra_recon_blocks): intra predictions read true reconstructed
     neighbors from the diagonal store, residuals are transformed and
@@ -311,10 +311,12 @@ def encode_recon_blocks(R, C, sch, src_y_b, src_u_b, src_v_b,
             dqy1 = dq_y1[nn]
             dqy2 = dq_y2[nn]
             dquv = dq_uv[nn]
-            q2, e2 = tf.fast_quant_batch(y2[None], dqy2[None],
-                                         jnp.zeros((1,), bool))
-            qy, ey = tf.fast_quant_batch(ycoef, jnp.tile(dqy1[None], (16, 1)),
-                                         jnp.ones((16,), bool))
+            qi = qidx[nn]
+            q2, e2 = tf.regular_quant_batch(y2[None], dqy2[None], qi[None],
+                                            jnp.zeros((1,), bool))
+            qy, ey = tf.regular_quant_batch(
+                ycoef, jnp.tile(dqy1[None], (16, 1)),
+                jnp.broadcast_to(qi, (16,)), jnp.ones((16,), bool))
             ey = jnp.maximum(ey, 1)
             ru = src_u_b[nn] - pred_u
             rv_ = src_v_b[nn] - pred_v
@@ -324,9 +326,9 @@ def encode_recon_blocks(R, C, sch, src_y_b, src_u_b, src_v_b,
                 .reshape(4, 4, 4)
             uvcoef = tf.fdct4x4_batch(
                 jnp.concatenate([ublocks, vblocks])).reshape(8, 16)
-            quv, euv = tf.fast_quant_batch(uvcoef,
-                                           jnp.tile(dquv[None], (8, 1)),
-                                           jnp.zeros((8,), bool))
+            quv, euv = tf.regular_quant_batch(
+                uvcoef, jnp.tile(dquv[None], (8, 1)),
+                jnp.broadcast_to(qi, (8,)), jnp.zeros((8,), bool))
             qall = jnp.concatenate([qy, quv, q2], axis=0)  # [25,16]
             eall = jnp.concatenate([ey, euv, e2], axis=0)  # [25]
 

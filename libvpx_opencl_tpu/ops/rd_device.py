@@ -106,18 +106,21 @@ def _mb_blocks(resid):
     return x.reshape(*s, 16, 4, 4)
 
 
-def rd_y16(resid, dq1, dq2, tcb0, tcb1):
+def rd_y16(resid, dq1, dq2, qidx, tcb0, tcb1):
     """Whole-MB Y rate/distortion under the has_y2 layout
-    (_quant_y16 + _cost_y dual, fast quant).
+    (_quant_y16 + _cost_y dual, regular zbin quant — the same quantizer
+    the encode wavefront applies).
 
-    resid [..., 16, 16] int32; dq1/dq2 [..., 2].
+    resid [..., 16, 16] int32; dq1/dq2 [..., 2]; qidx [...].
     Returns (rate [...], dist [...] float32 transform-domain error
     pre->>2, nz16 [..., 16] per-block nonzero flags)."""
     blocks = _mb_blocks(resid)
     coefs = tf.fdct4x4_batch(blocks).reshape(*blocks.shape[:-2], 16)
     y2 = tf.walsh4x4_batch(coefs[..., :, 0])
-    q, _ = tf.fast_quant_batch(coefs, dq1[..., None, :], True)
-    qy2, _ = tf.fast_quant_batch(y2, dq2, False)
+    q, _ = tf.regular_quant_batch(coefs, dq1[..., None, :],
+                                  qidx[..., None],
+                                  jnp.ones((), bool))
+    qy2, _ = tf.regular_quant_batch(y2, dq2, qidx, jnp.zeros((), bool))
     # distortion: AC error for the 16 Y blocks + full Y2 error
     ac = dq1[..., None, 1:2].astype(jnp.float32)
     ey = (coefs[..., 1:].astype(jnp.float32) -
@@ -142,10 +145,10 @@ def rd_y16(resid, dq1, dq2, tcb0, tcb1):
     return jnp.sum(ry, axis=-1) + r2, dist, nz
 
 
-def rd_uv(resid_u, resid_v, dq_uv, tcb2):
+def rd_uv(resid_u, resid_v, dq_uv, qidx, tcb2):
     """Chroma rate/distortion (_quant_uv + _cost_uv dual).
 
-    resid_u/resid_v [..., 8, 8] int32; dq_uv [..., 2].
+    resid_u/resid_v [..., 8, 8] int32; dq_uv [..., 2]; qidx [...].
     Returns (rate [...], dist [...] float32)."""
     rate = None
     dist = None
@@ -154,7 +157,8 @@ def rd_uv(resid_u, resid_v, dq_uv, tcb2):
         x = resid.reshape(*s, 2, 4, 2, 4)
         x = jnp.moveaxis(x, -3, -2).reshape(*s, 4, 4, 4)
         coefs = tf.fdct4x4_batch(x).reshape(*s, 4, 16)
-        q, _ = tf.fast_quant_batch(coefs, dq_uv[..., None, :], False)
+        q, _ = tf.regular_quant_batch(coefs, dq_uv[..., None, :],
+                                      qidx[..., None], jnp.zeros((), bool))
         dqv = jnp.concatenate([dq_uv[..., None, 0:1],
                                jnp.repeat(dq_uv[..., None, 1:2], 15, -1)],
                               -1).astype(jnp.float32)

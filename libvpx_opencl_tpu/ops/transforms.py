@@ -277,6 +277,56 @@ def fast_quant_batch(coeffs, dq, first0):
     return levels, eob
 
 
+def regular_quant_batch(coeffs, dq, qidx, first0):
+    """vp8_regular_quantize_b_c (quantize.c:106-156) over [..., 16] raster
+    coefficients: zbin dead zone with zero-run boost and the
+    improved-quant reciprocal (vp8cx_init_quantizer, quantize.c:411-440).
+    The zero-run carry is sequential along the zig-zag scan, so the scan
+    is a 16-step unrolled loop vectorized over every block at once.
+
+    dq [..., 2] (dc, ac); qidx [...] frame/segment Q (zbin factor 84
+    below Q48 else 80); first0 [...] bool (Y-with-Y2: skip position 0).
+    Returns (levels [..., 16] raster, eob [...])."""
+    import numpy as _np
+    from . import tables as _T
+    zz = [int(v) for v in _np.asarray(_T.ZIGZAG)]
+    boost_tab = jnp.asarray(
+        [0, 0, 8, 10, 12, 14, 16, 20, 24, 28, 32, 36, 40, 44, 44, 44],
+        jnp.int32)
+    zf = jnp.where(qidx < 48, 84, 80)
+    zbin = ((zf[..., None] * dq) + 64) >> 7                # [..., 2]
+    rnd = (48 * dq) >> 7                                   # [..., 2]
+    # improved reciprocal: shift = floor(log2(dq)), quant in (-2^16, 2^16)
+    shift = jnp.zeros_like(dq)
+    for k in range(1, 10):
+        shift = shift + (dq >= (1 << k)).astype(dq.dtype)
+    quant = 1 + jnp.left_shift(jnp.int32(1 << 16), shift) // dq - (1 << 16)
+
+    levels = jnp.zeros_like(coeffs)
+    eob = jnp.zeros(coeffs.shape[:-1], jnp.int32)
+    zrun = jnp.zeros(coeffs.shape[:-1], jnp.int32)
+    for i in range(16):
+        rc = zz[i]
+        k = 0 if rc == 0 else 1
+        z = coeffs[..., rc]
+        boost = (dq[..., 1] * jnp.take(boost_tab,
+                                       jnp.minimum(zrun, 15))) >> 7
+        x = jnp.abs(z)
+        hit = x >= zbin[..., k] + boost
+        xq = x + rnd[..., k]
+        y = jnp.right_shift(((xq * quant[..., k]) >> 16) + xq,
+                            shift[..., k])
+        y = jnp.minimum(y, 2047)
+        y = jnp.where(hit, y, 0)
+        if i == 0:
+            y = jnp.where(first0, 0, y)
+        nz = y > 0
+        levels = levels.at[..., rc].set(jnp.where(z < 0, -y, y))
+        eob = jnp.where(nz, i + 1, eob)
+        zrun = jnp.where(nz, 0, zrun + 1)
+    return levels, eob
+
+
 def mbs_to_plane(blocks, R, C, bw):
     """[R*C, bw, bw] per-MB blocks -> [R*bw, C*bw] plane."""
     return blocks.reshape(R, C, bw, bw).transpose(0, 2, 1, 3) \

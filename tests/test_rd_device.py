@@ -5,7 +5,8 @@ import jax.numpy as jnp
 from conftest import vector  # noqa: F401
 from libvpx_opencl_tpu.models import rdopt
 from libvpx_opencl_tpu.models.encoder import (_default_token_costs,
-                                              fast_quant, fdct4x4, walsh4x4)
+                                              fdct4x4, regular_quant,
+                                              walsh4x4)
 from libvpx_opencl_tpu.ops import rd_device as rd
 
 TC = _default_token_costs()
@@ -46,10 +47,12 @@ def test_rd_y16_matches_host():
     resid = rng.integers(-64, 64, (8, 16, 16)).astype(np.int32)
     dq1 = np.tile(np.array([[8, 10]], np.int32), (8, 1))
     dq2 = np.tile(np.array([[16, 20]], np.int32), (8, 1))
+    qidx = np.full(8, 40, np.int32)
     tcb0 = rd.banded_token_costs(TC, 0)
     tcb1 = rd.banded_token_costs(TC, 1)
     rate_d, dist_d, nz_d = rd.rd_y16(jnp.asarray(resid), jnp.asarray(dq1),
-                                     jnp.asarray(dq2), tcb0, tcb1)
+                                     jnp.asarray(dq2), jnp.asarray(qidx),
+                                     tcb0, tcb1)
     rate_d, dist_d = np.asarray(rate_d), np.asarray(dist_d)
     for i in range(8):
         coeffs = np.zeros((17, 16), np.int32)
@@ -60,9 +63,10 @@ def test_rd_y16_matches_host():
         q = np.zeros((17, 16), np.int32)
         eobs = np.zeros(17, np.int32)
         for b in range(16):
-            q[b], e = fast_quant(coeffs[b], dq1[i], first=1)
+            q[b], e = regular_quant(coeffs[b], dq1[i], int(qidx[i]),
+                                    first=1)
             eobs[b] = max(e, 1)
-        q[16], eobs[16] = fast_quant(coeffs[16], dq2[i])
+        q[16], eobs[16] = regular_quant(coeffs[16], dq2[i], int(qidx[i]))
         # dist: AC error + Y2 error
         dqv2 = np.array([dq2[i, 0]] + [dq2[i, 1]] * 15, np.int64)
         err = (((coeffs[:16, 1:] -
@@ -88,9 +92,10 @@ def test_rd_uv_matches_host():
     ru = rng.integers(-48, 48, (8, 8, 8)).astype(np.int32)
     rv = rng.integers(-48, 48, (8, 8, 8)).astype(np.int32)
     dq = np.tile(np.array([[6, 7]], np.int32), (8, 1))
+    qidx = np.full(8, 60, np.int32)
     tcb2 = rd.banded_token_costs(TC, 2)
     rate_d, dist_d = rd.rd_uv(jnp.asarray(ru), jnp.asarray(rv),
-                              jnp.asarray(dq), tcb2)
+                              jnp.asarray(dq), jnp.asarray(qidx), tcb2)
     rate_d, dist_d = np.asarray(rate_d), np.asarray(dist_d)
     for i in range(8):
         rate, dist = 0, 0
@@ -101,7 +106,8 @@ def test_rd_uv_matches_host():
             for b in range(4):
                 by, bx = (b >> 1) * 4, (b & 1) * 4
                 coeffs[b] = fdct4x4(resid[by:by + 4, bx:bx + 4])
-                q[b], eobs[b] = fast_quant(coeffs[b], dq[i])
+                q[b], eobs[b] = regular_quant(coeffs[b], dq[i],
+                                              int(qidx[i]))
             dqv = np.array([dq[i, 0]] + [dq[i, 1]] * 15, np.int64)
             dist += ((coeffs.astype(np.int64) - q * dqv[None]) ** 2).sum()
             nz = (eobs > 0).astype(int).reshape(2, 2)
@@ -114,3 +120,23 @@ def test_rd_uv_matches_host():
                 rate += r
         assert rate_d[i] == rate, i
         assert abs(dist_d[i] - dist) <= 1e-3 * max(dist, 1), i
+
+
+def test_regular_quant_batch_bit_exact():
+    from libvpx_opencl_tpu.ops import transforms as tf
+    rng = np.random.default_rng(1)
+    n = 256
+    coeffs = (rng.normal(0, 200, (n, 16)) *
+              (rng.random((n, 16)) < 0.5)).astype(np.int32)
+    coeffs[::7] = rng.normal(0, 3000, (16,)).astype(np.int32)
+    dqs = np.stack([rng.integers(4, 320, n),
+                    rng.integers(4, 320, n)], 1).astype(np.int32)
+    qidx = rng.integers(0, 128, n).astype(np.int32)
+    first0 = rng.random(n) < 0.5
+    lv, eb = tf.regular_quant_batch(jnp.asarray(coeffs), jnp.asarray(dqs),
+                                    jnp.asarray(qidx), jnp.asarray(first0))
+    lv, eb = np.asarray(lv), np.asarray(eb)
+    for i in range(n):
+        l, e = regular_quant(coeffs[i], tuple(dqs[i]), int(qidx[i]),
+                             first=int(first0[i]))
+        assert np.array_equal(l, lv[i]) and e == eb[i], i
