@@ -182,7 +182,7 @@ def _decide_rd_key(R, C, src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
 def _encode_device(R, C, ref_y, ref_u, ref_v,
                    src_y_blocks, src_u_blocks, src_v_blocks,
                    mode, uv_mode, intra, mv8, taps, dq_y1, dq_y2, dq_uv,
-                   qidx):
+                   qidx, tcb0, tcb1, tcb2, rdmult, rddiv):
     """Program B: MC preds + encode wavefront."""
     N = R * C
     sch = wf.schedule(R, C)
@@ -209,10 +209,49 @@ def _encode_device(R, C, ref_y, ref_u, ref_v,
     # chroma intra mode: RD-chosen by the decision program for intra MBs
     uv_mode = jnp.where(intra, uv_mode, DC_PRED)
 
+    # whole-frame trellis (optimize_b) for inter MBs: their predictions
+    # don't depend on the wavefront carry, so transform+quant+trellis run
+    # batched here; the wavefront substitutes these levels and derives
+    # the decoder-exact reconstruction from them.  Intra MBs quantize
+    # in-lane (their predictions come from the reconstruction carry).
+    coefs_y = tf.fdct4x4_batch(RD._mb_blocks(src_y_blocks - pred_y))         .reshape(N, 16, 16)
+    y2c = tf.walsh4x4_batch(coefs_y[:, :, 0])
+    qy0, _ = tf.regular_quant_batch(coefs_y, dq_y1[:, None, :],
+                                    qidx[:, None], jnp.ones((), bool))
+    qy20, _ = tf.regular_quant_batch(y2c, dq_y2, qidx, jnp.zeros((), bool))
+    scan16 = jnp.arange(16)
+    ZZi = jnp.asarray(np.asarray(RD.ZZ))
+    eob_y = jnp.max(jnp.where(qy0[..., ZZi] != 0, scan16 + 1, 0), -1)
+    nzy = (jnp.maximum(eob_y, 1) > 1).astype(jnp.int32).reshape(N, 4, 4)
+    ctx_y = (jnp.concatenate([jnp.zeros_like(nzy[:, :1]), nzy[:, :-1]], 1) +
+             jnp.concatenate([jnp.zeros_like(nzy[:, :, :1]), nzy[:, :, :-1]],
+                             2)).reshape(N, 16)
+    qy_t, ey_t = RD.trellis_batch(coefs_y, qy0, dq_y1[:, None, :], tcb0,
+                                  1, 4.0, ctx_y, rdmult, rddiv)
+    ey_t = jnp.maximum(ey_t, 1)
+    qy2_t, ey2_t = RD.trellis_batch(y2c, qy20, dq_y2, tcb1, 0, 16.0,
+                                    jnp.zeros(N, jnp.int32), rdmult, rddiv)
+    ublk = (src_u_blocks - pred_u).reshape(N, 2, 4, 2, 4)         .transpose(0, 1, 3, 2, 4).reshape(N, 4, 4, 4)
+    vblk = (src_v_blocks - pred_v).reshape(N, 2, 4, 2, 4)         .transpose(0, 1, 3, 2, 4).reshape(N, 4, 4, 4)
+    coefs_uv = tf.fdct4x4_batch(jnp.concatenate([ublk, vblk], 1))         .reshape(N, 8, 16)
+    quv0, _ = tf.regular_quant_batch(coefs_uv, dq_uv[:, None, :],
+                                     qidx[:, None], jnp.zeros((), bool))
+    eob_uv = jnp.max(jnp.where(quv0[..., ZZi] != 0, scan16 + 1, 0), -1)
+    nzuv = (eob_uv > 0).astype(jnp.int32).reshape(N, 2, 2, 2)
+    ctx_uv = (jnp.concatenate([jnp.zeros_like(nzuv[:, :, :1]),
+                               nzuv[:, :, :-1]], 2) +
+              jnp.concatenate([jnp.zeros_like(nzuv[:, :, :, :1]),
+                               nzuv[:, :, :, :-1]], 3)).reshape(N, 8)
+    quv_t, euv_t = RD.trellis_batch(coefs_uv, quv0, dq_uv[:, None, :],
+                                    tcb2, 0, 2.0, ctx_uv, rdmult, rddiv)
+    q_ext = jnp.concatenate([qy_t, quv_t, qy2_t[:, None]], 1)  # [N,25,16]
+    e_ext = jnp.concatenate([ey_t, euv_t, ey2_t[:, None]], 1)  # [N,25]
+    use_ext = ~intra
+
     qcoeff, eobs, ry, ru, rv = wf.encode_recon_blocks(
         R, C, sch, src_y_blocks, src_u_blocks, src_v_blocks,
         pred_y, pred_u, pred_v, mode, uv_mode, intra, dq_y1, dq_y2, dq_uv,
-        qidx)
+        qidx, q_ext, e_ext, use_ext)
     return (qcoeff.astype(jnp.int16), eobs.astype(jnp.int32), uv_mode,
             ry, ru, rv)
 
@@ -391,7 +430,8 @@ class TPUEncoder(Encoder):
         qcoeff, eobs, uv_mode_d, ry, ru, rv = _encode_device(
             R, C, self.ref.y, self.ref.u, self.ref.v, yb, ub, vb,
             mode_dev, j(uvmode),
-            j(intra), j(mv8.astype(np.int32)), taps, dq1, dq2, dqu, qidx)
+            j(intra), j(mv8.astype(np.int32)), taps, dq1, dq2, dqu, qidx,
+            tcb0, tcb1, tcb2, rdm_f, rdd_f)
         qcoeff, eobs, uv_mode = jax.device_get((qcoeff, eobs, uv_mode_d))
 
         # host-side grids for packing

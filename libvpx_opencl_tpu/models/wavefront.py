@@ -247,7 +247,8 @@ SPLITMV_M = 9
 
 def encode_recon_blocks(R, C, sch, src_y_b, src_u_b, src_v_b,
                         inter_y, inter_u, inter_v,
-                        mode, uv_mode, intra, dq_y1, dq_y2, dq_uv, qidx):
+                        mode, uv_mode, intra, dq_y1, dq_y2, dq_uv, qidx,
+                        q_ext=None, e_ext=None, use_ext=None):
     """Whole-frame encode pass over the wavefront (the encoder twin of
     intra_recon_blocks): intra predictions read true reconstructed
     neighbors from the diagonal store, residuals are transformed and
@@ -331,6 +332,16 @@ def encode_recon_blocks(R, C, sch, src_y_b, src_u_b, src_v_b,
                 jnp.broadcast_to(qi, (8,)), jnp.zeros((8,), bool))
             qall = jnp.concatenate([qy, quv, q2], axis=0)  # [25,16]
             eall = jnp.concatenate([ey, euv, e2], axis=0)  # [25]
+            if q_ext is not None:
+                # externally trellis-optimized coefficients (inter MBs —
+                # their predictions don't depend on the wavefront carry,
+                # so the optimize_b pass runs whole-frame outside)
+                qall = jnp.where(use_ext[nn], q_ext[nn], qall)
+                eall = jnp.where(use_ext[nn], e_ext[nn], eall)
+                qy = qall[:16]
+                quv = qall[16:24]
+                q2 = qall[24:25]
+                e2 = eall[24:25]
 
             # ---- in-loop reconstruction (decoder-exact) ----
             dqv2 = jnp.concatenate([dqy2[:1], jnp.repeat(dqy2[1:], 15)])

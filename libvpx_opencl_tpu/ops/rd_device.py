@@ -185,3 +185,129 @@ def rdc(rate, dist, rdmult, rddiv):
     float32 (decision-only — the pack layer recomputes exact rates)."""
     r = jnp.asarray(rate, jnp.float32)
     return jnp.floor((128.0 + r * rdmult) / 256.0) + rddiv * dist
+
+
+INV_ZZ = tuple(int(v) for v in np.argsort(np.asarray(ZZ)))  # raster -> scan
+
+
+def trellis_batch(coefs, q, dq, tcb, i0, plane_rd_mult, ctx, rdmult, rddiv):
+    """optimize_b (ref: vp8/encoder/encodemb.c:224-466) as unrolled
+    backward/forward scans vectorized over every block at once: Viterbi
+    over the two candidate roundings (level, level-1) of each nonzero
+    coefficient, costing token transitions under the frame entropy model.
+    float32 rd accounting (no _rdtrunc tie-break), so razor-thin ties may
+    resolve differently than the host oracle — the output is always a
+    valid (and near-optimal) coding choice; the reconstruction is
+    recomputed from these levels so the closed loop stays exact.
+
+    coefs/q [..., 16] raster; dq [..., 2]; tcb [16,3,12] f32;
+    i0/plane_rd_mult static; ctx [...] 0..2; rdmult/rddiv f32 scalars.
+    Returns (levels [..., 16] raster, eob [...])."""
+    shape = q.shape[:-1]
+    qz = q[..., ZZ].astype(jnp.int32)
+    cz = coefs[..., ZZ].astype(jnp.int32)
+    scan = jnp.arange(16)
+    eob = jnp.max(jnp.where(qz != 0, scan + 1, 0), axis=-1)
+    rm = rdmult * plane_rd_mult
+
+    def rdc_f(r, e):
+        return jnp.floor((128.0 + r * rm) / 256.0) + rddiv * e
+
+    def price(tcb_pos, ptv, tv):
+        oc = jax.nn.one_hot(ptv, 3, dtype=jnp.float32)
+        ot = jax.nn.one_hot(tv, 12, dtype=jnp.float32)
+        return jnp.einsum('...c,...t,ct->...', oc, ot, tcb_pos)
+
+    z = jnp.zeros(shape, jnp.float32)
+    rate = [z, z]
+    err = [z, z]
+    tok = [jnp.full(shape, EOB, jnp.int32), jnp.full(shape, EOB, jnp.int32)]
+    next_pos = eob.astype(jnp.int32)
+    qc = [jnp.zeros((*shape, 16), jnp.int32) for _ in range(2)]
+    bb = [jnp.zeros((*shape, 16), jnp.int32) for _ in range(2)]
+    nxtp = jnp.zeros((*shape, 16), jnp.int32)
+
+    for i in range(15, i0 - 1, -1):
+        active = i < eob
+        x = qz[..., i]
+        drc = dq[..., 0] if i == 0 else dq[..., 1]
+        drcf = drc.astype(jnp.float32)
+        is_nz = active & (x != 0)
+        is_z = active & (x == 0)
+        tcb_n = tcb[min(i + 1, 15)]
+        ax = jnp.abs(x)
+        t0 = _token_of(ax)
+        # ---- candidate 0: keep the level ----
+        g0 = (next_pos < 16).astype(jnp.float32)
+        pt0 = jnp.minimum(ax, 2)
+        r0 = [rate[c] + g0 * price(tcb_n, pt0, tok[c]) for c in range(2)]
+        best0 = (rdc_f(r0[1], err[1]) < rdc_f(r0[0], err[0])) \
+            .astype(jnp.float32)
+        base0 = _value_cost(ax, t0).astype(jnp.float32)
+        dx = x.astype(jnp.float32) * drcf - cz[..., i].astype(jnp.float32)
+        nrate0 = base0 + (1 - best0) * r0[0] + best0 * r0[1]
+        nerr0 = dx * dx + (1 - best0) * err[0] + best0 * err[1]
+        # ---- candidate 1: one step toward zero (when requantization
+        # still brackets the true coefficient) ----
+        shortcut = (ax * drc > jnp.abs(cz[..., i])) & \
+                   (ax * drc < jnp.abs(cz[..., i]) + drc)
+        x1 = jnp.where(shortcut, x - jnp.sign(x), x)
+        a1 = jnp.abs(x1)
+        t1n = _token_of(a1)
+        tb = [jnp.where(a1 == 0, jnp.where(tok[c] == EOB, EOB, 0), t1n)
+              for c in range(2)]
+        pt1 = jnp.minimum(a1, 2)
+        g1 = [((next_pos < 16) & (tb[c] != EOB)).astype(jnp.float32)
+              for c in range(2)]
+        r1 = [rate[c] + g1[c] * price(tcb_n, pt1, tok[c]) for c in range(2)]
+        best1 = (rdc_f(r1[1], err[1]) < rdc_f(r1[0], err[0])) \
+            .astype(jnp.float32)
+        base1 = _value_cost(a1, t1n).astype(jnp.float32)
+        sgn = jnp.sign(x).astype(jnp.float32)
+        dx1 = jnp.where(shortcut, dx - sgn * drcf, dx)
+        nrate1 = base1 + (1 - best1) * r1[0] + best1 * r1[1]
+        nerr1 = dx1 * dx1 + (1 - best1) * err[0] + best1 * err[1]
+        b1i = best1.astype(jnp.int32)
+        ntok1 = jnp.where(b1i == 1, tb[1], tb[0])
+        # ---- record chain outputs, update state (nonzero positions) ----
+        qc[0] = qc[0].at[..., i].set(jnp.where(is_nz, x, 0))
+        qc[1] = qc[1].at[..., i].set(jnp.where(is_nz, x1, 0))
+        bb[0] = bb[0].at[..., i].set(best0.astype(jnp.int32))
+        bb[1] = bb[1].at[..., i].set(b1i)
+        nxtp = nxtp.at[..., i].set(next_pos)
+        nz_f = is_nz.astype(jnp.float32)
+        rate[0] = nz_f * nrate0 + (1 - nz_f) * rate[0]
+        rate[1] = nz_f * nrate1 + (1 - nz_f) * rate[1]
+        err[0] = nz_f * nerr0 + (1 - nz_f) * err[0]
+        err[1] = nz_f * nerr1 + (1 - nz_f) * err[1]
+        tok[0] = jnp.where(is_nz, t0, tok[0])
+        tok[1] = jnp.where(is_nz, ntok1, tok[1])
+        next_pos = jnp.where(is_nz, i, next_pos)
+        # ---- zero positions inside the eob: fold the ZERO token ----
+        for c in range(2):
+            pz = is_z & (tok[c] != EOB)
+            rate[c] = rate[c] + pz.astype(jnp.float32) * \
+                price(tcb_n, jnp.zeros_like(tok[c]), tok[c])
+            tok[c] = jnp.where(pz, 0, tok[c])
+
+    # base transition at i0 under the true entropy context
+    tcb_b = tcb[i0]
+    rf = [rate[c] + price(tcb_b, ctx, tok[c]) for c in range(2)]
+    best = (rdc_f(rf[1], err[1]) < rdc_f(rf[0], err[0])).astype(jnp.int32)
+
+    # forward walk: follow the chain, emitting the chosen candidate
+    outz = jnp.zeros((*shape, 16), jnp.int32)
+    if i0:
+        outz = outz.at[..., :i0].set(qz[..., :i0])
+    cur = next_pos
+    br = best
+    for i in range(i0, 16):
+        hit = (cur == i) & (i < eob)
+        val = jnp.where(br == 1, qc[1][..., i], qc[0][..., i])
+        outz = outz.at[..., i].set(jnp.where(hit, val, outz[..., i]))
+        nbr = jnp.where(br == 1, bb[1][..., i], bb[0][..., i])
+        br = jnp.where(hit, nbr, br)
+        cur = jnp.where(hit, nxtp[..., i], cur)
+
+    eob_out = jnp.max(jnp.where(outz != 0, scan + 1, 0), axis=-1)
+    return outz[..., INV_ZZ], eob_out
