@@ -23,6 +23,23 @@ def _pad(plane, pad):
     return np.pad(plane, pad, mode="edge")
 
 
+def _pad16(plane):
+    """Edge-pad a plane up to multiples of 16."""
+    h, w = plane.shape
+    H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def _match_all(anchor16, ref16, mc_range):
+    """Whole-frame vectorized +-mc_range full-pel match
+    (find_matching_mb, temporal_filter.c:139) via the shared step-2 grid
+    + refine matcher.  Planes must be padded to multiples of 16.
+    Returns (dy, dx, sse) arrays [R, C]."""
+    from .me_host import fullpel_match
+    dy, dx, sse, _ = fullpel_match(anchor16, ref16, mc_range)
+    return dy, dx, sse
+
+
 def _weighted_accumulate(base, pred, strength, weight, accum, count):
     """vp8_temporal_filter_apply_c (temporal_filter.c:88-135),
     vectorized over a whole plane."""
@@ -67,50 +84,35 @@ def synthesize_altref(frames, alt_index, strength=6, max_frames=5,
             wmap = np.full((R, C), 2, np.int32)
             py, pu, pv = fy, fu, fv
         else:
-            pyp = _pad(fy, pad)
-            pup = _pad(fu, pad // 2)
-            pvp = _pad(fv, pad // 2)
-            py = np.zeros((h, w), np.uint8)
-            pu = np.zeros(cu.shape, np.uint8)
-            pv = np.zeros(cv.shape, np.uint8)
-            wmap = np.zeros((R, C), np.int32)
-            for r in range(R):
-                for c in range(C):
-                    y0, x0 = r * 16, c * 16
-                    mbh = min(16, h - y0)
-                    mbw = min(16, w - x0)
-                    base = cy[y0:y0 + mbh, x0:x0 + mbw].astype(np.int32)
-                    win = pyp[pad + y0 - mc_range:
-                              pad + y0 + mc_range + mbh,
-                              pad + x0 - mc_range:pad + x0 + mc_range + mbw]
-                    sads = np.abs(
-                        sliding_window_view(win, (mbh, mbw))
-                        .astype(np.int32) - base[None, None]).sum((2, 3))
-                    am = int(np.argmin(sads))
-                    nC = sads.shape[1]
-                    dy = am // nC - mc_range
-                    dx = am % nC - mc_range
-                    pred = pyp[pad + y0 + dy:pad + y0 + dy + mbh,
-                               pad + x0 + dx:pad + x0 + dx + mbw]
-                    err = int(((base - pred.astype(np.int32)) ** 2).sum())
-                    wgt = 2 if err < THRESH_LOW else \
-                        (1 if err < THRESH_HIGH else 0)
-                    wmap[r, c] = wgt
-                    if wgt == 0:
-                        continue
-                    py[y0:y0 + mbh, x0:x0 + mbw] = pred
-                    # chroma: nearest full-pel of mv/2
-                    cdy = (dy + (1 if dy >= 0 else -1)) // 2
-                    cdx = (dx + (1 if dx >= 0 else -1)) // 2
-                    cy0, cx0 = y0 // 2, x0 // 2
-                    cbh, cbw = (mbh + 1) // 2, (mbw + 1) // 2
-                    hp = pad // 2
-                    pu[cy0:cy0 + cbh, cx0:cx0 + cbw] = \
-                        pup[hp + cy0 + cdy:hp + cy0 + cdy + cbh,
-                            hp + cx0 + cdx:hp + cx0 + cdx + cbw]
-                    pv[cy0:cy0 + cbh, cx0:cx0 + cbw] = \
-                        pvp[hp + cy0 + cdy:hp + cy0 + cdy + cbh,
-                            hp + cx0 + cdx:hp + cx0 + cdx + cbw]
+            # whole-frame vectorized match on the 16-padded grid
+            dy, dx, sse = _match_all(_pad16(cy), _pad16(fy), mc_range)
+            wmap = np.where(sse < THRESH_LOW, 2,
+                            np.where(sse < THRESH_HIGH, 1, 0)) \
+                .astype(np.int32)
+            # gather the matched luma predictions for every MB at once
+            pyp16 = np.pad(_pad16(fy), mc_range, mode="edge")
+            ywins = sliding_window_view(pyp16, (16, 16))
+            rr = np.arange(R)[:, None] * 16
+            cc = np.arange(C)[None, :] * 16
+            predy = ywins[rr + dy + mc_range, cc + dx + mc_range]
+            py = predy.transpose(0, 2, 1, 3).reshape(R * 16,
+                                                     C * 16)[:h, :w]
+            # chroma: nearest full-pel of mv/2 (round away from zero)
+            cdy = np.where(dy >= 0, (dy + 1) // 2, (dy - 1) // 2)
+            cdx = np.where(dx >= 0, (dx + 1) // 2, (dx - 1) // 2)
+            hp = (mc_range + 1) // 2 + 1
+            pup16 = np.pad(_pad16(fu)[:R * 8, :C * 8], hp, mode="edge")
+            pvp16 = np.pad(_pad16(fv)[:R * 8, :C * 8], hp, mode="edge")
+            uwins = sliding_window_view(pup16, (8, 8))
+            vwins = sliding_window_view(pvp16, (8, 8))
+            crr = np.arange(R)[:, None] * 8
+            ccc = np.arange(C)[None, :] * 8
+            predu = uwins[crr + cdy + hp, ccc + cdx + hp]
+            predv = vwins[crr + cdy + hp, ccc + cdx + hp]
+            pu = predu.transpose(0, 2, 1, 3).reshape(
+                R * 8, C * 8)[:cu.shape[0], :cu.shape[1]]
+            pv = predv.transpose(0, 2, 1, 3).reshape(
+                R * 8, C * 8)[:cv.shape[0], :cv.shape[1]]
 
         # per-pixel weight maps from the per-MB match weights
         wy = np.repeat(np.repeat(wmap, 16, 0), 16, 1)[:h, :w]

@@ -74,32 +74,12 @@ def analyze_frame(prev_y, gld_y, y, mc_range=8):
         return s
 
     def best_mc(ref_y):
-        pi = np.pad(ref_y[:R * 16, :C * 16], mc_range,
-                    mode="edge").astype(np.int64)
-        err = np.empty((R, C))
-        mvr = np.empty((R, C), np.int64)
-        mvc = np.empty((R, C), np.int64)
-        zerr = np.empty((R, C))
-        for r in range(R):
-            for c in range(C):
-                base = blocks[r, c]
-                win = pi[r * 16:r * 16 + 2 * mc_range + 16,
-                         c * 16:c * 16 + 2 * mc_range + 16]
-                sads = np.abs(sliding_window_view(win, (16, 16))
-                              .astype(np.int64) - base[None, None]) \
-                    .sum((2, 3))
-                am = int(np.argmin(sads))
-                nC = sads.shape[1]
-                dy, dx = am // nC - mc_range, am % nC - mc_range
-                pred = pi[r * 16 + dy + mc_range:r * 16 + dy + mc_range + 16,
-                          c * 16 + dx + mc_range:
-                          c * 16 + dx + mc_range + 16]
-                err[r, c] = float(((base - pred) ** 2).sum())
-                zp = pi[r * 16 + mc_range:r * 16 + mc_range + 16,
-                        c * 16 + mc_range:c * 16 + mc_range + 16]
-                zerr[r, c] = float(((base - zp) ** 2).sum())
-                mvr[r, c], mvc[r, c] = dy, dx
-        return err, zerr, mvr, mvc
+        from .me_host import fullpel_match
+        mvr, mvc, sse, zsse = fullpel_match(
+            yi[:R * 16, :C * 16].astype(np.uint8),
+            np.asarray(ref_y)[:R * 16, :C * 16], mc_range)
+        return (sse.astype(np.float64), zsse.astype(np.float64),
+                mvr.astype(np.int64), mvc.astype(np.int64))
 
     err_l, zerr_l, mvr, mvc = best_mc(prev_y)
     inter_mask = err_l < intra_err
