@@ -39,7 +39,7 @@ class RateController:
                  starting_buffer_ms=4000, optimal_buffer_ms=5000,
                  maximum_buffer_ms=6000,
                  undershoot_pct=100, overshoot_pct=100,
-                 kf_max_dist=128):
+                 kf_max_dist=128, drop_frames_water_mark=0):
         self.target_bandwidth = target_bitrate_kbps * 1000.0  # bits/s
         self.fps = float(fps)
         self.mb_count = mb_count
@@ -81,12 +81,74 @@ class RateController:
         self.kf_bitrate_adjustment = 0
         self.this_frame_target = self.per_frame_bandwidth
 
+        # CBR frame dropping (drop_frames_allowed, onyx_if.c:1588;
+        # rc_dropframe_thresh -> drop_frames_water_mark)
+        self.drop_frames_water_mark = int(drop_frames_water_mark)
+        self.drop_frames_allowed = self.drop_frames_water_mark > 0
+        self.decimation_factor = 0
+        self.decimation_count = 0
+        self.drop_count = 0
+        self.frames_dropped = 0
+
     # ------------------------------------------------------------------
     def want_keyframe(self):
         """Forced-interval keyframe scheduling (kf_max_dist role)."""
         return (self.frame_count == 0 or
                 (self.kf_max_dist > 0 and
                  self.frames_since_key >= self.kf_max_dist))
+
+    def check_frame_drop(self, keyframe):
+        """CBR frame-drop decision: the buffer-driven decimation ladder
+        (onyx_if.c:3272-3358, drop_mark 75/50/25 thresholds and
+        decimation_factor 0..3) plus the buffer-underrun crisis drop
+        (calc_pframe_target_size ratectrl.c:965-999).  Returns True when
+        this frame must be dropped; performs the dropped-frame buffer
+        bookkeeping itself (onyx_if.c:3323-3338)."""
+        if not self.drop_frames_allowed or self.end_usage != "cbr":
+            return False
+        drop_mark = (self.drop_frames_water_mark *
+                     self.optimal_buffer_level) // 100
+        drop_mark75 = drop_mark * 2 // 3
+        drop_mark50 = drop_mark // 4
+        drop_mark25 = drop_mark // 8
+        if self.buffer_level > drop_mark and self.decimation_factor > 0:
+            self.decimation_factor -= 1
+        if self.buffer_level > drop_mark75 and self.decimation_factor > 0:
+            self.decimation_factor = 1
+        elif (self.buffer_level < drop_mark25 and
+              self.decimation_factor in (2, 3)):
+            self.decimation_factor = 3
+        elif (self.buffer_level < drop_mark50 and
+              self.decimation_factor in (1, 2)):
+            self.decimation_factor = 2
+        elif (self.buffer_level < drop_mark75 and
+              self.decimation_factor in (0, 1)):
+            self.decimation_factor = 1
+        if self.decimation_factor > 0:
+            if keyframe:
+                self.decimation_count = self.decimation_factor
+            elif self.decimation_count > 0:
+                self.decimation_count -= 1
+                self._drop_bookkeeping()
+                return True
+            else:
+                self.decimation_count = self.decimation_factor
+        # buffer underrun crisis (ratectrl.c:973-985)
+        if not keyframe and self.buffer_level < 0:
+            self.drop_count += 1
+            self._drop_bookkeeping()
+            return True
+        self.drop_count = 0
+        return False
+
+    def _drop_bookkeeping(self):
+        self.bits_off_target += self.per_frame_bandwidth
+        self.bits_off_target = min(self.bits_off_target,
+                                   self.maximum_buffer_size)
+        self.buffer_level = self.bits_off_target
+        self.frames_since_key += 1
+        self.frame_count += 1
+        self.frames_dropped += 1
 
     def _correction_factor(self, keyframe, golden=False):
         if keyframe:
@@ -280,6 +342,8 @@ def encode_frame_with_rc(enc, rc, y, u, v, keyframe=None, golden=False,
     bracketing Q between q_low/q_high."""
     if keyframe is None:
         keyframe = rc.want_keyframe()
+    if rc.check_frame_drop(keyframe):
+        return b""            # dropped frame: no packet is emitted
     target = rc.frame_target(keyframe, golden)
     q = rc.regulate_q(target, keyframe, golden)
     q_low, q_high = rc.active_best_quality, rc.active_worst_quality

@@ -68,3 +68,45 @@ def test_keyframe_boost_and_overspend_recovery():
     for _ in range(10):
         rc.frame_done(40, rc.per_frame_bandwidth, False)
     assert rc.want_keyframe()
+
+
+def test_cbr_drop_frames_on_underflow():
+    """CBR decimation (onyx_if.c:3272-3358): with an impossible target and
+    a tiny buffer the controller must drop frames instead of underrunning
+    without bound, and the emitted stream must still decode."""
+    from libvpx_opencl_tpu.models.refdec import RefDecoder
+    w, h, n = 176, 144, 30
+    frames = synth(w, h, n)
+    mb = ((h + 15) // 16) * ((w + 15) // 16)
+    enc = Encoder(w, h, qindex=60, rd=False)
+    rc = RateController(30, 30.0, mb, end_usage="cbr",
+                        starting_buffer_ms=500, optimal_buffer_ms=600,
+                        maximum_buffer_ms=1000, kf_max_dist=9999,
+                        drop_frames_water_mark=70)
+    payloads = []
+    for y, u, v in frames:
+        p = encode_frame_with_rc(enc, rc, y, u, v)
+        if p:
+            payloads.append(p)
+    assert rc.frames_dropped > 0, "no frames dropped under a 30kbps wall"
+    assert len(payloads) == n - rc.frames_dropped
+    # the survivors still form a valid stream
+    dec = type("D", (RefDecoder,), {"use_native": True})()
+    for p in payloads:
+        dec.decode_frame(p)
+    # dropping must arrest the underflow (buffer recovers toward >= 0 by
+    # construction of the bookkeeping)
+    assert rc.buffer_level > -rc.per_frame_bandwidth * 3
+
+
+def test_no_drops_when_disabled():
+    """Default (water mark 0): nothing is ever dropped."""
+    w, h, n = 176, 144, 10
+    frames = synth(w, h, n)
+    mb = ((h + 15) // 16) * ((w + 15) // 16)
+    enc = Encoder(w, h, qindex=60, rd=False)
+    rc = RateController(30, 30.0, mb, end_usage="cbr",
+                        starting_buffer_ms=500, kf_max_dist=9999)
+    for y, u, v in frames:
+        assert encode_frame_with_rc(enc, rc, y, u, v)
+    assert rc.frames_dropped == 0
