@@ -56,24 +56,42 @@ def main():
     # and device-resident when the clock stops.  Bit-exactness is then
     # verified on every frame (hard gate) outside the clock, exactly like
     # `vpxdec --md5` is a separate invocation from the --summary timing.
+    #
+    # The decode runs RUNS times and the MEDIAN fps is reported: the
+    # host<->TPU tunnel in this environment has 1.3-1.9x run-to-run
+    # variance (BASELINE.md round-3/4 ledgers), so a single run is not a
+    # result.  Per-run numbers go to stderr for the ledger.
     import jax as _jax
-    dec = TPUDecoder()
-    shown = []
-    t0 = time.time()
-    for payload, _pts in stream.frames:
-        show = dec.decode_frame_core(payload)
-        shown.append(dec.frame_to_show if show else None)
-    last = shown[-1]
-    _jax.block_until_ready((last.y, last.u, last.v))
-    dt = time.time() - t0
-
+    RUNS = int(os.environ.get("BENCH_RUNS", "5"))
+    run_fps = []
     md5s = []
-    for fr in shown:
-        if fr is not None:
-            md5s.append(frame_md5(*fr.visible()))
+    for run in range(RUNS):
+        dec = TPUDecoder()
+        shown = []
+        t0 = time.time()
+        for payload, _pts in stream.frames:
+            show = dec.decode_frame_core(payload)
+            shown.append(dec.frame_to_show if show else None)
+        last = shown[-1]
+        _jax.block_until_ready((last.y, last.u, last.v))
+        dt = time.time() - t0
+        if run == 0:
+            for fr in shown:
+                if fr is not None:
+                    md5s.append(frame_md5(*fr.visible()))
+        nf = sum(1 for fr in shown if fr is not None)
+        run_fps.append(nf / dt)
+        print(f"run {run}: {nf / dt:.2f} fps ({dt * 1000 / nf:.1f} ms/f)",
+              file=sys.stderr)
+        del dec
+
     n = len(md5s)
     bit_exact = md5s == golden[:n] and n == len(golden)
-    fps = n / dt if bit_exact else 0.0
+    med = sorted(run_fps)[len(run_fps) // 2]
+    print(f"median of {RUNS}: {med:.2f} fps "
+          f"(min {min(run_fps):.2f}, max {max(run_fps):.2f})",
+          file=sys.stderr)
+    fps = med if bit_exact else 0.0
     print(json.dumps({
         "metric": "1080p_decode_fps_bit_exact",
         "value": round(fps, 2),

@@ -48,13 +48,15 @@ def main(argv=None):
     from ..utils.y4m import Y4MReader
 
     rd = Y4MReader(args.input)
-    # --cpu-used maps to the mode-decision path like the reference's speed
-    # features (vp8_set_speed_features onyx_if.c:670): >=4 uses the fast
-    # SAD decision (pickinter.c role), else full token-cost RD
+    # --cpu-used maps to the speed-feature ladder
+    # (vp8_set_speed_features onyx_if.c:670 via encoder.speed_features):
+    # 0 = everything on (exhaustive ME, SPLITMV, B_PRED, trellis),
+    # 1-2 step-2 ME, 3-4 -SPLITMV, 5-7 -trellis/-B_PRED,
+    # 8-11 SAD decision, 12+ LAST-only
     enc = Encoder(rd.w, rd.h, qindex=args.cq_level,
                   token_parts=args.token_parts,
                   golden_interval=args.golden_interval,
-                  rd=args.cpu_used < 4)
+                  cpu_used=args.cpu_used)
     mb_count = ((rd.h + 15) // 16) * ((rd.w + 15) // 16)
     rc = None
     if args.passes == 2:

@@ -179,12 +179,48 @@ def regular_quant(coeffs, dq, qidx, first=0):
     return levels, eob
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class SpeedFeatures:
+    """Effort toggles (the vp8_set_speed_features ladder role,
+    onyx_if.c:670): each level trades search breadth for speed."""
+    rd: bool = True              # token-cost RD decision + trellis path
+    trellis: bool = True         # optimize_b coefficient optimization
+    splitmv: bool = True         # SPLITMV partition search
+    bpred: bool = True           # B_PRED intra 4x4 mode search
+    exhaustive_me: bool = True   # step-1 exhaustive full-pel (else step-2)
+    multi_ref: bool = True       # search GOLDEN/ALTREF references
+
+
+def speed_features(cpu_used):
+    """Map a vpxenc-style --cpu-used value (0..16, sign ignored) to a
+    SpeedFeatures ladder (vp8_set_speed_features, onyx_if.c:670)."""
+    s = abs(int(cpu_used))
+    if s == 0:
+        return SpeedFeatures()
+    if s <= 2:
+        return SpeedFeatures(exhaustive_me=False)
+    if s <= 4:
+        return SpeedFeatures(exhaustive_me=False, splitmv=False)
+    if s <= 7:
+        return SpeedFeatures(exhaustive_me=False, splitmv=False,
+                             trellis=False, bpred=False)
+    if s <= 11:
+        return SpeedFeatures(rd=False, trellis=False, splitmv=False,
+                             bpred=False, exhaustive_me=False)
+    return SpeedFeatures(rd=False, trellis=False, splitmv=False,
+                         bpred=False, exhaustive_me=False,
+                         multi_ref=False)
+
+
 class Encoder:
     """VP8 encoder producing IVF-compatible frame payloads."""
 
     def __init__(self, width, height, qindex=24, filter_level=None,
                  token_parts=0, mb_no_coeff_skip=True, golden_interval=0,
-                 rd=True):
+                 rd=True, cpu_used=None):
         self.w, self.h = width, height
         self.qindex = qindex
         self.fixed_filter = filter_level
@@ -195,6 +231,12 @@ class Encoder:
         #: optimization (rdopt.c / encodemb.c roles); False = the fast
         #: SAD path (pickinter.c role, used by the TPU encoder twin)
         self.rd = rd
+        # speed-feature ladder (vp8_set_speed_features, onyx_if.c:670)
+        if cpu_used is None:
+            self.sf = speed_features(0 if rd else 9)
+        else:
+            self.sf = speed_features(cpu_used)
+            self.rd = self.sf.rd
         self.R = (height + 15) >> 4
         self.C = (width + 15) >> 4
         self.dec = _mk_dec()
@@ -387,11 +429,12 @@ class Encoder:
         refs = None
         if not keyframe:
             refs = [(self.dec.last, LAST_FRAME)]
-            if self.dec.golden is not self.dec.last:
-                refs.append((self.dec.golden, GOLDEN_FRAME))
-            if (self.dec.altref is not self.dec.last and
-                    self.dec.altref is not self.dec.golden):
-                refs.append((self.dec.altref, ALTREF_FRAME))
+            if self.sf.multi_ref:
+                if self.dec.golden is not self.dec.last:
+                    refs.append((self.dec.golden, GOLDEN_FRAME))
+                if (self.dec.altref is not self.dec.last and
+                        self.dec.altref is not self.dec.golden):
+                    refs.append((self.dec.altref, ALTREF_FRAME))
         for r in range(R):
             self._lctx = np.zeros(9, np.int32)
             for c in range(C):
@@ -696,9 +739,10 @@ class Encoder:
                     best = (rd, m, coefs, ql, eob, rate_, err)
             _, m, coefs, ql, eob, rate_, err = best
             # trellis on the chosen block, then decoder-exact recon
-            ql, eob = rdopt.trellis_block(coefs, ql, eob, dq_y1, 3, ctx,
-                                          self._tc, self.rdmult, self.rddiv,
-                                          True)
+            if self.sf.trellis:
+                ql, eob = rdopt.trellis_block(coefs, ql, eob, dq_y1, 3,
+                                              ctx, self._tc, self.rdmult,
+                                              self.rddiv, True)
             RefDecoder._intra4x4_predict(ws, by, bx, m)
             if eob:
                 if eob > 1:
@@ -763,12 +807,14 @@ class Encoder:
                             a_, l_)
 
         # ---- B_PRED ----
-        a_, l_ = actx0.copy(), lctx0.copy()
-        bp_rate, bp_dist, bp_q, bp_eobs, bp_modes = self._pick_bpred(
-            r, c, src_y, keyframe, a_, l_, dq_y1, qidx, commit=False)
-        bp_rate += ymode_cost[B_PRED]
-        bp_rd = self._rdc(bp_rate, bp_dist)
-        y_is_bpred = bp_rd < best_y16[0]
+        y_is_bpred = False
+        if self.sf.bpred:
+            a_, l_ = actx0.copy(), lctx0.copy()
+            bp_rate, bp_dist, bp_q, bp_eobs, bp_modes = self._pick_bpred(
+                r, c, src_y, keyframe, a_, l_, dq_y1, qidx, commit=False)
+            bp_rate += ymode_cost[B_PRED]
+            bp_rd = self._rdc(bp_rate, bp_dist)
+            y_is_bpred = bp_rd < best_y16[0]
 
         # ---- intra UV ----
         bu, bv = self.rec.u, self.rec.v
@@ -850,7 +896,7 @@ class Encoder:
                         best_inter = (rd, mode_, mv_, ref_fb, ref_id,
                                       pred_y, pred_u, pred_v,
                                       coeffs, q, eobs, cuv, quv, euv)
-                if ref_id != LAST_FRAME:
+                if ref_id != LAST_FRAME or not self.sf.splitmv:
                     continue
                 # SPLITMV candidates on LAST: 8x8 / 16x8 / 8x16 searched
                 # always; 4x4 only when a coarser split is currently the
@@ -1094,6 +1140,12 @@ class Encoder:
         return rate
 
     def _trellis_uv(self, cuv, quv, euv, dq_uv, intra, actx, lctx):
+        if not self.sf.trellis:
+            for j in range(8):
+                i = 16 + j
+                ia, il = BLOCK2ABOVE[i], BLOCK2LEFT[i]
+                actx[ia] = lctx[il] = int(euv[j] != 0)
+            return quv.copy(), euv.copy()
         qo = np.zeros_like(quv)
         eo = np.zeros_like(euv)
         for j in range(8):
@@ -1113,18 +1165,24 @@ class Encoder:
         actx, lctx = self._actx[c], self._lctx
         # Y2 then Y (independent context chains)
         ctx = int(actx[8] + lctx[8])
-        q2, e2 = rdopt.trellis_block(coeffs[16], q[16], int(eobs[16]),
-                                     dq_y2, 1, ctx, self._tc,
-                                     self.rdmult, self.rddiv, intra)
+        if self.sf.trellis:
+            q2, e2 = rdopt.trellis_block(coeffs[16], q[16], int(eobs[16]),
+                                         dq_y2, 1, ctx, self._tc,
+                                         self.rdmult, self.rddiv, intra)
+        else:
+            q2, e2 = q[16], int(eobs[16])
         self.qcoeff[r, c, 24] = q2
         self.eobs[r, c, 24] = e2
         actx[8] = lctx[8] = int(e2 != 0)
         for i in range(16):
             ia, il = BLOCK2ABOVE[i], BLOCK2LEFT[i]
             ctx = int(actx[ia] + lctx[il])
-            qi, ei = rdopt.trellis_block(coeffs[i], q[i], int(eobs[i]),
-                                         dq_y1, 0, ctx, self._tc,
-                                         self.rdmult, self.rddiv, intra)
+            if self.sf.trellis:
+                qi, ei = rdopt.trellis_block(coeffs[i], q[i], int(eobs[i]),
+                                             dq_y1, 0, ctx, self._tc,
+                                             self.rdmult, self.rddiv, intra)
+            else:
+                qi, ei = q[i], int(eobs[i])
             self.qcoeff[r, c, i] = qi
             self.eobs[r, c, i] = max(ei, 1)
             actx[ia] = lctx[il] = int(ei != 1)
@@ -1142,9 +1200,12 @@ class Encoder:
         for i in range(16):
             ia, il = BLOCK2ABOVE[i], BLOCK2LEFT[i]
             ctx = int(actx[ia] + lctx[il])
-            qi, ei = rdopt.trellis_block(coeffs[i], q[i], int(eobs[i]),
-                                         dq_y1, 3, ctx, self._tc,
-                                         self.rdmult, self.rddiv, False)
+            if self.sf.trellis:
+                qi, ei = rdopt.trellis_block(coeffs[i], q[i], int(eobs[i]),
+                                             dq_y1, 3, ctx, self._tc,
+                                             self.rdmult, self.rddiv, False)
+            else:
+                qi, ei = q[i], int(eobs[i])
             self.qcoeff[r, c, i] = qi
             self.eobs[r, c, i] = ei
             actx[ia] = lctx[il] = int(ei != 0)
@@ -1282,19 +1343,22 @@ class Encoder:
         # overfits noise with junk far-away MVs.
         from numpy.lib.stride_tricks import sliding_window_view
         win = refy[y0 + lo_r:y0 + hi_r + 16, x0 + lo_c:x0 + hi_c + 16]
-        sads = np.abs(
-            sliding_window_view(win, (16, 16)).astype(np.int32) -
-            src_y[None, None]).sum((2, 3))
+        sw = sliding_window_view(win, (16, 16))
+        mestep = 1 if self.sf.exhaustive_me else 2
+        sw = sw[::mestep, ::mestep]
+        sads = np.abs(sw.astype(np.int32) -
+                      src_y[None, None]).sum((2, 3))
         epb = self.errorperbit
-        dys = np.arange(lo_r, hi_r + 1) * 8 - best_mv[0]
-        dxs = np.arange(lo_c, hi_c + 1) * 8 - best_mv[1]
+        dys = np.arange(lo_r, hi_r + 1, mestep) * 8 - best_mv[0]
+        dxs = np.arange(lo_c, hi_c + 1, mestep) * 8 - best_mv[1]
         rowc = rdopt.MV_COST[0][np.minimum(np.abs(dys) >> 1, 1023)]
         colc = rdopt.MV_COST[1][np.minimum(np.abs(dxs) >> 1, 1023)]
         mvrate = ((rowc[:, None] + colc[None, :]) * 96) >> 7
         costs = sads + ((mvrate * epb + 128) >> 8)
         am = int(np.argmin(costs))
         nC = costs.shape[1]
-        bdy, bdx = lo_r + am // nC, lo_c + am % nC
+        bdy = lo_r + mestep * (am // nC)
+        bdx = lo_c + mestep * (am % nC)
         cost_fp = int(costs[am // nC, am % nC])
         # subpel refine (quarter-pel: mv components even in 1/8 units)
         bmv = (bdy * 8, bdx * 8)

@@ -43,11 +43,12 @@ _TCB = None
 
 def _tcb_tables():
     """Banded device token-cost tables under the default coefficient
-    probabilities (the golden encoder's _tc model)."""
+    probabilities (the golden encoder's _tc model).  Types: 0 Y-with-Y2,
+    1 Y2, 2 UV, 3 Y-without-Y2 (B_PRED/SPLITMV)."""
     global _TCB
     if _TCB is None:
         tc = _default_token_costs()
-        _TCB = tuple(RD.banded_token_costs(tc, t) for t in range(3))
+        _TCB = tuple(RD.banded_token_costs(tc, t) for t in range(4))
     return _TCB
 
 
@@ -91,66 +92,192 @@ def _uv_intra_rd(R, C, src_u_pl, src_v_pl, ub, vb, dqu, qidx, tcb2,
     return best.astype(jnp.int32), ruv[best, ar], duv[best, ar]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _decide_rd_inter(R, C, ref_y, ref_u, ref_v, src_y_pl, src_u_pl,
-                     src_v_pl, yb, ub, vb, centers, taps,
-                     lo_r, hi_r, lo_c, hi_c, mvcost, pred8, sadpb,
-                     tcb0, tcb1, tcb2, dq1, dq2, dqu, qidx, rdmult, rddiv,
-                     ymode_cost, uvmode_cost, ci0, ci1, czero, cnew):
-    """Program A (RD form): motion search + token-cost RD mode decision
-    over {DC,V,H,TM, ZEROMV, NEWMV} — the vp8_rd_pick_inter_mode role
-    (rdopt.c:1714) batched over every MB at once.  Intra predictions come
-    from source neighbors (decision approximation; the encode wavefront
-    reconstructs from true neighbors)."""
+def _bpred_rd(R, C, src_y_pl, yb, dq1, qidx, tcb3, bmode_cost,
+              rdmult, rddiv):
+    """Approximate B_PRED candidate rate/dist from SOURCE neighbors
+    (rd_pick_intra4x4mby_modes role, rdopt.c; decision only — the encode
+    wavefront re-chooses bmodes from true reconstructed neighbors).
+    Per-subblock best-of-10 under ctx-0 token rates, then the MB rate is
+    re-costed with within-MB chained contexts.  Returns (rate, dist) [N]."""
+    N = R * C
+    mb = jnp.arange(N)
+    mb_r, mb_c = mb // C, mb % C
+    sub = jnp.arange(16)
+    si, sj = sub // 4, sub % 4
+    py = (B + mb_r[:, None] * 16 + si[None, :] * 4).reshape(-1)
+    px = (B + mb_c[:, None] * 16 + sj[None, :] * 4).reshape(-1)
+
+    def gather(y, x):
+        a8 = jax.lax.dynamic_slice(src_y_pl, (y - 1, x), (1, 8))[0]
+        l4 = jax.lax.dynamic_slice(src_y_pl, (y, x - 1), (4, 1))[:, 0]
+        t = jax.lax.dynamic_slice(src_y_pl, (y - 1, x - 1), (1, 1))[0, 0]
+        return (a8.astype(jnp.int32), l4.astype(jnp.int32),
+                t.astype(jnp.int32))
+
+    a8, l4, tl = jax.vmap(gather)(py, px)
+    preds = jnp.stack(jax.vmap(P.bpred_4x4_all)(a8, l4, tl), 0)  # [10,NB,4,4]
+    NB = N * 16
+    src4 = RD._mb_blocks(yb).reshape(NB, 4, 4)
+    resid = src4[None] - preds
+    coefs = tf.fdct4x4_batch(resid.reshape(10 * NB, 4, 4)) \
+        .reshape(10, NB, 16)
+    dqb = jnp.repeat(dq1, 16, axis=0)                 # [NB, 2]
+    qxb = jnp.repeat(qidx, 16, axis=0)
+    q, _ = tf.regular_quant_batch(coefs, dqb[None], qxb[None],
+                                  jnp.zeros((), bool))
+    dqv = jnp.concatenate([dqb[:, 0:1],
+                           jnp.repeat(dqb[:, 1:2], 15, axis=1)],
+                          1).astype(jnp.float32)
+    dist10 = jnp.sum((coefs.astype(jnp.float32) -
+                      q.astype(jnp.float32) * dqv[None]) ** 2, -1)
+    rate10, _ = RD.block_rate(q, tcb3, 0, jnp.zeros((10, NB), jnp.int32))
+    rd10 = RD.rdc(rate10 + bmode_cost[:, None], dist10 / 4.0,
+                  rdmult, rddiv)
+    bm = jnp.argmin(rd10, axis=0)                     # [NB]
+    ar = jnp.arange(NB)
+    q_best = q[bm, ar]                                # [NB, 16]
+    dist_best = dist10[bm, ar]
+    # within-MB chained contexts for the final MB rate
+    scan = jnp.arange(16)
+    eobs = jnp.max(jnp.where(q_best[..., RD.ZZ] != 0, scan + 1, 0), -1)
+    nz = (eobs > 0).astype(jnp.int32).reshape(N, 4, 4)
+    ctx = (jnp.concatenate([jnp.zeros_like(nz[:, :1]), nz[:, :-1]], 1) +
+           jnp.concatenate([jnp.zeros_like(nz[:, :, :1]), nz[:, :, :-1]],
+                           2)).reshape(NB)
+    rate_f, _ = RD.block_rate(q_best, tcb3, 0, ctx)
+    b_rate = (rate_f + bmode_cost[bm]).reshape(N, 16).sum(-1)
+    b_dist = dist_best.reshape(N, 16).sum(-1)
+    return b_rate, b_dist
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _decide_rd_inter(R, C, n_refs, refs_y, refs_u, refs_v, src_y_pl,
+                     src_u_pl, src_v_pl, yb, ub, vb, centers, taps,
+                     lo_r, hi_r, lo_c, hi_c, mvcost, prev8, sadpb,
+                     tcb0, tcb1, tcb2, tcb3, dq1, dq2, dqu, qidx,
+                     rdmult, rddiv, ymode_cost, uvmode_cost, bmode_cost,
+                     ci0, ci1, modectx, c0tab, c1tab):
+    """Program A (RD form): per-reference motion search + token-cost RD
+    mode decision over {DC,V,H,TM} intra and
+    {ZEROMV, NEARESTMV, NEARMV, NEWMV} x {LAST, GOLDEN, ALTREF} — the
+    vp8_rd_pick_inter_mode reference-frame candidate loop (rdopt.c:1714)
+    batched over every MB at once.  NEAREST/NEAR candidates and their
+    mode-signaling costs come from a device near-MV lattice built over the
+    LAST search field (ME.near_mv_lattice; with sign bias 0 the lattice is
+    identical for every target reference).  Intra predictions come from
+    source neighbors (decision approximation; the encode wavefront
+    reconstructs from true neighbors).
+
+    refs_y [nr,H,W], refs_u/refs_v [nr,Hc,Wc]; ci1 [nr] per-ref header
+    cost; modectx [6,4] MODE_CONTEXTS; c0tab/c1tab [256] bit-cost tables.
+    Returns (mv [N,2], ref_k [N] -1=intra else 0..nr-1, ymode, uvmode)."""
     N = R * C
     mb = jnp.arange(N)
     mb_r, mb_c = mb // C, mb % C
     mb_pos = jnp.stack([B + mb_r * 16, B + mb_c * 16], 1)
-    pen = (mvcost, pred8, sadpb)
-    mv_fp, sad_fp = ME.full_search(ref_y, yb, centers, mb_pos, mv_pen=pen)
-    mv8, _sad = ME.subpel_refine(ref_y, yb, mb_pos, mv_fp, sad_fp,
-                                 taps, (lo_r, hi_r, lo_c, hi_c), mv_pen=pen)
-    # Y candidates: 4 intra + ZEROMV + NEWMV
+    pen = (mvcost, prev8, sadpb)
+    bounds = (lo_r, hi_r, lo_c, hi_c)
+    mvs = []
+    for k in range(n_refs):
+        mv_fp, sad_fp = ME.full_search(refs_y[k], yb, centers, mb_pos,
+                                       mv_pen=pen)
+        mv8k, _ = ME.subpel_refine(refs_y[k], yb, mb_pos, mv_fp, sad_fp,
+                                   taps, bounds, mv_pen=pen)
+        mvs.append(mv8k)
+    nearest, near, best_mv, cnt = ME.near_mv_lattice(mvs[0], R, C)
+    p0 = modectx[cnt[:, 0], 0]
+    p1 = modectx[cnt[:, 1], 1]
+    p2 = modectx[cnt[:, 2], 2]
+    p3 = modectx[cnt[:, 3], 3]
+    czero = jnp.take(c0tab, p0)
+    cnearest = jnp.take(c1tab, p0) + jnp.take(c0tab, p1)
+    cnear = cnearest - jnp.take(c0tab, p1) + jnp.take(c1tab, p1) + \
+        jnp.take(c0tab, p2)
+    cnew = cnear - jnp.take(c0tab, p2) + jnp.take(c1tab, p2) + \
+        jnp.take(c0tab, p3)
+
+    # Y candidates: 4 intra + (zero, nearest, near, new) per reference
     ipreds = jnp.moveaxis(ME.intra_mode_preds(src_y_pl, mb_pos, R, C, 16),
                           1, 0)                       # [4,N,16,16]
-    zero = jnp.zeros(N, jnp.int32)
-    sy = B + mb_r * 16 + (mv8[:, 0] >> 3)
-    sx = B + mb_c * 16 + (mv8[:, 1] >> 3)
-    pred_new = P.mc_predict_blocks(ref_y[None], zero, jnp.stack([sy, sx], 1),
-                                   mv8[:, 1] & 7, mv8[:, 0] & 7, taps, 16)
-    pred_zero = P.mc_predict_blocks(ref_y[None], zero, mb_pos, zero, zero,
-                                    taps, 16)
-    preds = jnp.concatenate([ipreds, pred_zero[None], pred_new[None]], 0)
-    K = 6
+    zero2 = jnp.zeros((N, 2), jnp.int32)
+    cand_mvs = []
+    for k in range(n_refs):
+        cand_mvs += [zero2, nearest, near, mvs[k]]
+    Kin = 4 * n_refs
+    allmv = jnp.stack(cand_mvs, 0)                     # [Kin, N, 2]
+    flat_mv = allmv.reshape(Kin * N, 2)
+    flat_ref = jnp.repeat(jnp.arange(n_refs, dtype=jnp.int32), 4 * N)
+    pos_t = jnp.tile(mb_pos, (Kin, 1))
+    starts = jnp.stack([pos_t[:, 0] + (flat_mv[:, 0] >> 3),
+                        pos_t[:, 1] + (flat_mv[:, 1] >> 3)], 1)
+    pred_in = P.mc_predict_blocks(refs_y, flat_ref, starts,
+                                  flat_mv[:, 1] & 7, flat_mv[:, 0] & 7,
+                                  taps, 16).reshape(Kin, N, 16, 16)
+    preds = jnp.concatenate([ipreds, pred_in], 0)
+    K = 4 + Kin
     dq1b = jnp.broadcast_to(dq1[None], (K, N, 2))
     dq2b = jnp.broadcast_to(dq2[None], (K, N, 2))
     qxb = jnp.broadcast_to(qidx[None], (K, N))
     ry, dy, _ = RD.rd_y16(yb[None] - preds, dq1b, dq2b, qxb, tcb0, tcb1)
-    # UV: best intra mode (shared by intra candidates) + per-inter-MV cost
+
+    # UV: best intra mode (shared by intra candidates) + per-candidate MC
     uvbest, ruv_i, duv_i = _uv_intra_rd(R, C, src_u_pl, src_v_pl, ub, vb,
                                         dqu, qidx, tcb2, uvmode_cost,
                                         rdmult, rddiv)
-    ruv_z, duv_z = _uv_inter_rd(R, C, ref_u, ref_v, ub, vb,
-                                jnp.zeros_like(mv8), taps, dqu, qidx, tcb2)
-    ruv_n, duv_n = _uv_inter_rd(R, C, ref_u, ref_v, ub, vb, mv8, taps,
-                                dqu, qidx, tcb2)
-    # NEWMV signaling cost (vp8_mv_bit_cost, weight 96)
-    dr = jnp.clip(jnp.abs(mv8[:, 0] - pred8[:, 0]) >> 1, 0, 1023)
-    dc_ = jnp.clip(jnp.abs(mv8[:, 1] - pred8[:, 1]) >> 1, 0, 1023)
-    mvc = ((jnp.take(mvcost[0], dr) + jnp.take(mvcost[1], dc_)) * 96) >> 7
-    rate = jnp.stack(
-        [ci0 + ymode_cost[m] + ry[m] + ruv_i for m in range(4)] +
-        [ci1 + czero + ry[4] + ruv_z,
-         ci1 + cnew + mvc + ry[5] + ruv_n], 0)
-    dist = jnp.stack(
-        [dy[m] / 4.0 + duv_i / 4.0 for m in range(4)] +
-        [dy[4] / 4.0 + duv_z / 4.0, dy[5] / 4.0 + duv_n / 4.0], 0)
+    w_r = flat_mv[:, 0] + jnp.where(flat_mv[:, 0] >= 0, 1, -1)
+    w_c = flat_mv[:, 1] + jnp.where(flat_mv[:, 1] >= 0, 1, -1)
+    uv_r = jnp.sign(w_r) * (jnp.abs(w_r) // 2)
+    uv_c = jnp.sign(w_c) * (jnp.abs(w_c) // 2)
+    mb_r_t = jnp.tile(mb_r, (Kin,))
+    mb_c_t = jnp.tile(mb_c, (Kin,))
+    cstarts = jnp.stack([B2 + mb_r_t * 8 + (uv_r >> 3),
+                         B2 + mb_c_t * 8 + (uv_c >> 3)], 1)
+    pu = P.mc_predict_blocks(refs_u, flat_ref, cstarts, uv_c & 7,
+                             uv_r & 7, taps, 8).reshape(Kin, N, 8, 8)
+    pv = P.mc_predict_blocks(refs_v, flat_ref, cstarts, uv_c & 7,
+                             uv_r & 7, taps, 8).reshape(Kin, N, 8, 8)
+    dqub = jnp.broadcast_to(dqu[None], (Kin, N, 2))
+    qxb_in = jnp.broadcast_to(qidx[None], (Kin, N))
+    ruv_in, duv_in = RD.rd_uv(ub[None] - pu, vb[None] - pv, dqub,
+                              qxb_in, tcb2)
+
+    # NEWMV signaling cost per reference (vp8_mv_bit_cost vs the lattice
+    # best_ref_mv, weight 96)
+    def mv_rate(mv8):
+        dr = jnp.clip(jnp.abs(mv8[:, 0] - best_mv[:, 0]) >> 1, 0, 1023)
+        dc_ = jnp.clip(jnp.abs(mv8[:, 1] - best_mv[:, 1]) >> 1, 0, 1023)
+        return ((jnp.take(mvcost[0], dr) + jnp.take(mvcost[1], dc_))
+                * 96) >> 7
+
+    # B_PRED candidate (fixed inter-frame bmode probs)
+    br, bd = _bpred_rd(R, C, src_y_pl, yb, dq1, qidx, tcb3, bmode_cost,
+                       rdmult, rddiv)
+
+    mode_costs = [czero, cnearest, cnear, cnew]
+    rate_rows = [ci0 + ymode_cost[m] + ry[m] + ruv_i for m in range(4)]
+    dist_rows = [dy[m] / 4.0 + duv_i / 4.0 for m in range(4)]
+    for k in range(n_refs):
+        for j in range(4):
+            i = 4 * k + j
+            extra = mv_rate(mvs[k]) if j == 3 else 0
+            rate_rows.append(ci1[k] + mode_costs[j] + extra +
+                             ry[4 + i] + ruv_in[i])
+            dist_rows.append(dy[4 + i] / 4.0 + duv_in[i] / 4.0)
+    rate_rows.append(ci0 + ymode_cost[4] + br + ruv_i)
+    dist_rows.append(bd / 4.0 + duv_i / 4.0)
+    rate = jnp.stack(rate_rows, 0)
+    dist = jnp.stack(dist_rows, 0)
     rdall = RD.rdc(rate, dist, rdmult, rddiv)
     best = jnp.argmin(rdall, axis=0)
-    ymode = jnp.argmin(rdall[:4], axis=0).astype(jnp.int32)
-    use_inter = best >= 4
-    mv_out = jnp.where((best == 5)[:, None], mv8, 0)
-    return mv_out, use_inter, ymode, uvbest
+    is_bpred = best == (4 + Kin)
+    ymode = jnp.where(is_bpred, 4,
+                      jnp.argmin(rdall[:4], axis=0)).astype(jnp.int32)
+    inter = (best >= 4) & ~is_bpred
+    ref_k = jnp.where(inter, (best - 4) // 4, -1).astype(jnp.int32)
+    ar = jnp.arange(N)
+    mv_out = jnp.where(inter[:, None],
+                       allmv[jnp.clip(best - 4, 0, Kin - 1), ar], 0)
+    return mv_out, ref_k, ymode, uvbest
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -179,20 +306,23 @@ def _decide_rd_key(R, C, src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _encode_device(R, C, ref_y, ref_u, ref_v,
+def _encode_device(R, C, refs_y, refs_u, refs_v, refk,
                    src_y_blocks, src_u_blocks, src_v_blocks,
                    mode, uv_mode, intra, mv8, taps, dq_y1, dq_y2, dq_uv,
-                   qidx, tcb0, tcb1, tcb2, rdmult, rddiv):
-    """Program B: MC preds + encode wavefront."""
+                   qidx, tcb0, tcb1, tcb2, tcb3, bmode_cost,
+                   rdmult, rddiv):
+    """Program B: MC preds (per-MB reference selection) + encode
+    wavefront."""
     N = R * C
     sch = wf.schedule(R, C)
     mb = jnp.arange(N)
     mb_r, mb_c = mb // C, mb % C
+    rk = jnp.clip(refk, 0, refs_y.shape[0] - 1)
     # luma MC
     sy = B + mb_r * 16 + (mv8[:, 0] >> 3)
     sx = B + mb_c * 16 + (mv8[:, 1] >> 3)
     zero = jnp.zeros(N, jnp.int32)
-    pred_y = P.mc_predict_blocks(ref_y[None], zero, jnp.stack([sy, sx], 1),
+    pred_y = P.mc_predict_blocks(refs_y, rk, jnp.stack([sy, sx], 1),
                                  mv8[:, 1] & 7, mv8[:, 0] & 7, taps, 16)
     # chroma MV derivation (reconinter.c:418-424)
     w_r = mv8[:, 0] + jnp.where(mv8[:, 0] >= 0, 1, -1)
@@ -202,9 +332,9 @@ def _encode_device(R, C, ref_y, ref_u, ref_v,
     csy = B2 + mb_r * 8 + (uv_r >> 3)
     csx = B2 + mb_c * 8 + (uv_c >> 3)
     cstarts = jnp.stack([csy, csx], 1)
-    pred_u = P.mc_predict_blocks(ref_u[None], zero, cstarts, uv_c & 7,
+    pred_u = P.mc_predict_blocks(refs_u, rk, cstarts, uv_c & 7,
                                  uv_r & 7, taps, 8)
-    pred_v = P.mc_predict_blocks(ref_v[None], zero, cstarts, uv_c & 7,
+    pred_v = P.mc_predict_blocks(refs_v, rk, cstarts, uv_c & 7,
                                  uv_r & 7, taps, 8)
     # chroma intra mode: RD-chosen by the decision program for intra MBs
     uv_mode = jnp.where(intra, uv_mode, DC_PRED)
@@ -248,12 +378,12 @@ def _encode_device(R, C, ref_y, ref_u, ref_v,
     e_ext = jnp.concatenate([ey_t, euv_t, ey2_t[:, None]], 1)  # [N,25]
     use_ext = ~intra
 
-    qcoeff, eobs, ry, ru, rv = wf.encode_recon_blocks(
+    qcoeff, eobs, ry, ru, rv, bmodes = wf.encode_recon_blocks(
         R, C, sch, src_y_blocks, src_u_blocks, src_v_blocks,
         pred_y, pred_u, pred_v, mode, uv_mode, intra, dq_y1, dq_y2, dq_uv,
-        qidx, q_ext, e_ext, use_ext)
+        qidx, q_ext, e_ext, use_ext, tcb3, bmode_cost, rdmult, rddiv)
     return (qcoeff.astype(jnp.int16), eobs.astype(jnp.int32), uv_mode,
-            ry, ru, rv)
+            ry, ru, rv, bmodes)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
@@ -295,12 +425,26 @@ class TPUEncoder(Encoder):
         z = DeviceFrame(jnp.zeros((HP, WP), jnp.uint8),
                         jnp.zeros((HPc, WPc), jnp.uint8),
                         jnp.zeros((HPc, WPc), jnp.uint8), self.w, self.h)
-        self.ref = z
+        # device reference ring (last/golden/altref share the zero frame
+        # until refreshed — update_reference_frames onyx_if.c:2980 role)
+        self.ref_last = z
+        self.ref_gold = z
+        self.ref_alt = z
         self.prev_mv = np.zeros((R * C, 2), np.int32)
 
-    def encode_frame(self, y, u, v, keyframe=None, commit=True):
+    def encode_frame(self, y, u, v, keyframe=None, refresh_last=True,
+                     refresh_golden=None, commit=True, show=True,
+                     refresh_alt=False):
         if keyframe is None:
             keyframe = self.frame_count == 0
+        self.refresh_last_flag = bool(refresh_last) or keyframe
+        if refresh_golden is None:
+            refresh_golden = bool(
+                self.golden_interval and
+                self.frame_count % self.golden_interval == 0)
+        self.refresh_golden = bool(refresh_golden) or keyframe
+        self.refresh_alt = bool(refresh_alt) or keyframe
+        self.show_frame = bool(show) or keyframe
         R, C = self.R, self.C
         N = R * C
         # source planes, aligned + padded like the golden encoder
@@ -376,11 +520,15 @@ class TPUEncoder(Encoder):
         rdm, rdd, _epb = rdopt.rd_consts(self.qindex)
         rdm_f = jnp.float32(rdm)
         rdd_f = jnp.float32(rdd)
-        tcb0, tcb1, tcb2 = _tcb_tables()
+        tcb0, tcb1, tcb2, tcb3 = _tcb_tables()
+        bmode_cost_d = jnp.asarray(np.asarray(rdopt.BMODE_COST, np.int32))
 
+        from .refdec import GOLDEN_FRAME, ALTREF_FRAME
         if keyframe:
             mv8 = np.zeros((N, 2), np.int32)
             intra = np.ones(N, bool)
+            refk = np.full(N, -1, np.int32)
+            ref_ids = [LAST_FRAME]
             ymode_d, uvb_d = _decide_rd_key(
                 R, C, src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
                 tcb0, tcb1, tcb2, dq1, dq2, dqu, qidx, rdm_f, rdd_f,
@@ -389,61 +537,92 @@ class TPUEncoder(Encoder):
             ymode = np.asarray(ymode_d).astype(np.int32)
             uvmode = np.asarray(uvb_d).astype(np.int32)
         else:
+            # reference set (rdopt.c:1714 candidate refs; identity dedup
+            # like the golden encoder's refs list)
+            ref_frames = [(self.ref_last, LAST_FRAME)]
+            if self.ref_gold is not self.ref_last:
+                ref_frames.append((self.ref_gold, GOLDEN_FRAME))
+            if (self.ref_alt is not self.ref_last and
+                    self.ref_alt is not self.ref_gold):
+                ref_frames.append((self.ref_alt, ALTREF_FRAME))
+            n_refs = len(ref_frames)
+            ref_ids = [rid for _, rid in ref_frames]
+            refs_y = jnp.stack([f.y for f, _ in ref_frames])
+            refs_u = jnp.stack([f.u for f, _ in ref_frames])
+            refs_v = jnp.stack([f.v for f, _ in ref_frames])
+
             lo = np.stack([-(mbr * 16) - 16, -(mbc * 16) - 16], 1)
             hi = np.stack([(R - 1 - mbr) * 16 + 16, (C - 1 - mbc) * 16 + 16],
                           1)
             centers = np.clip(self.prev_mv >> 3, lo, hi)
             # MV-rate cost tables + per-MB predictor (the previous frame's
-            # MV stands in for best_ref_mv, which is only known at pack
-            # time) + sad-per-bit at the frame quantizer
+            # MV stands in for best_ref_mv during the search; the in-program
+            # lattice best_mv prices the NEWMV candidates) + sad-per-bit
             mvcost = j(np.stack([rdopt.MV_COST[0], rdopt.MV_COST[1]])
                        .astype(np.int32))
             pred8 = j(self.prev_mv.astype(np.int32))
             sadpb = jnp.int32(int(ME.SAD_PER_BIT16[self.qindex]))
-            # mode signaling costs: intra/inter + mv_ref under a
-            # prev-motion-conditioned context (probs are only exactly
-            # known at pack time)
+            # per-ref header signaling costs (intra/last/gf tree)
+            c_in = rdopt.cost1(self.prob_intra)
             ci0 = jnp.int32(rdopt.cost0(self.prob_intra))
-            ci1 = jnp.int32(rdopt.cost1(self.prob_intra) +
-                            rdopt.cost0(self.prob_last))
-            rows = np.where((self.prev_mv == 0).all(1), 4, 2)
-            pr = np.asarray(T.MODE_CONTEXTS)[rows]     # [N, 4]
-            czero = rdopt._C0[pr[:, 0]].astype(np.int32)
-            cnew = (rdopt._C1[pr[:, 0]] + rdopt._C1[pr[:, 1]] +
-                    rdopt._C1[pr[:, 2]] + rdopt._C0[pr[:, 3]]) \
-                .astype(np.int32)
-            mv8_d, use_inter, ymode_d, uvb_d = _decide_rd_inter(
-                R, C, self.ref.y, self.ref.u, self.ref.v,
+            ci1_list = []
+            for rid in ref_ids:
+                if rid == LAST_FRAME:
+                    ci1_list.append(c_in + rdopt.cost0(self.prob_last))
+                elif rid == GOLDEN_FRAME:
+                    ci1_list.append(c_in + rdopt.cost1(self.prob_last) +
+                                    rdopt.cost0(self.prob_gf))
+                else:
+                    ci1_list.append(c_in + rdopt.cost1(self.prob_last) +
+                                    rdopt.cost1(self.prob_gf))
+            ci1 = j(np.asarray(ci1_list, np.int32))
+            modectx = j(np.asarray(T.MODE_CONTEXTS, np.int32))
+            c0tab = j(rdopt._C0.astype(np.int32))
+            c1tab = j(rdopt._C1.astype(np.int32))
+            mv8_d, refk_d, ymode_d, uvb_d = _decide_rd_inter(
+                R, C, n_refs, refs_y, refs_u, refs_v,
                 src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
                 j(centers.astype(np.int32)), taps, lo_r, hi_r, lo_c, hi_c,
-                mvcost, pred8, sadpb, tcb0, tcb1, tcb2, dq1, dq2, dqu,
-                qidx, rdm_f, rdd_f,
-                j(np.asarray(rdopt.YMODE_COST[:4], np.int32)),
+                mvcost, pred8, sadpb, tcb0, tcb1, tcb2, tcb3,
+                dq1, dq2, dqu, qidx, rdm_f, rdd_f,
+                j(np.asarray(rdopt.YMODE_COST[:5], np.int32)),
                 j(np.asarray(rdopt.UV_MODE_COST, np.int32)),
-                ci0, ci1, j(czero), j(cnew))
+                bmode_cost_d, ci0, ci1, modectx, c0tab, c1tab)
             mv8 = np.array(mv8_d)
-            intra = ~np.asarray(use_inter)
+            refk = np.asarray(refk_d).astype(np.int32)
+            intra = refk < 0
             ymode = np.asarray(ymode_d).astype(np.int32)
             uvmode = np.asarray(uvb_d).astype(np.int32)
 
         mode_dev = j(ymode.astype(np.int32))
-        qcoeff, eobs, uv_mode_d, ry, ru, rv = _encode_device(
-            R, C, self.ref.y, self.ref.u, self.ref.v, yb, ub, vb,
+        if keyframe:
+            enc_refs_y = self.ref_last.y[None]
+            enc_refs_u = self.ref_last.u[None]
+            enc_refs_v = self.ref_last.v[None]
+        else:
+            enc_refs_y, enc_refs_u, enc_refs_v = refs_y, refs_u, refs_v
+        qcoeff, eobs, uv_mode_d, ry, ru, rv, bmodes_d = _encode_device(
+            R, C, enc_refs_y, enc_refs_u, enc_refs_v, j(refk), yb, ub, vb,
             mode_dev, j(uvmode),
             j(intra), j(mv8.astype(np.int32)), taps, dq1, dq2, dqu, qidx,
-            tcb0, tcb1, tcb2, rdm_f, rdd_f)
-        qcoeff, eobs, uv_mode = jax.device_get((qcoeff, eobs, uv_mode_d))
+            tcb0, tcb1, tcb2, tcb3, bmode_cost_d, rdm_f, rdd_f)
+        qcoeff, eobs, uv_mode, bmodes = jax.device_get(
+            (qcoeff, eobs, uv_mode_d, bmodes_d))
 
         # host-side grids for packing
         self.mode = np.zeros((R + 1, C + 1), np.int32)
         self.uvmode = uv_mode.reshape(R, C).astype(np.int32)
         self.reff = np.zeros((R + 1, C + 1), np.int32)
         self.mv = np.zeros((R + 1, C + 1, 2), np.int32)
+        self.bmode = np.zeros((R + 1, C + 1, 16), np.int32)
+        self.bmode[1:, 1:] = bmodes.reshape(R, C, 16)
         self.qcoeff = qcoeff.reshape(R, C, 25, 16).astype(np.int32)
         self.eobs = eobs.reshape(R, C, 25)
         self.mode[1:, 1:] = ymode.reshape(R, C)
-        self.reff[1:, 1:] = np.where(intra.reshape(R, C), INTRA_FRAME,
-                                     LAST_FRAME)
+        ref_id_arr = np.asarray(ref_ids, np.int32)
+        self.reff[1:, 1:] = np.where(
+            intra.reshape(R, C), INTRA_FRAME,
+            ref_id_arr[np.clip(refk, 0, len(ref_ids) - 1)].reshape(R, C))
         self.mv[1:, 1:, 0] = mv8[:, 0].reshape(R, C)
         self.mv[1:, 1:, 1] = mv8[:, 1].reshape(R, C)
         # map chosen MVs to the cheapest coding mode at pack time
@@ -465,11 +644,14 @@ class TPUEncoder(Encoder):
                         else:
                             self.mode[r + 1, c + 1] = NEWMV
 
-        # skip decision
+        # skip decision (B_PRED MBs have no Y2: e[24]==0, Y eobs start-0)
         self.skip = np.zeros((R, C), np.int32)
         if self.mb_no_coeff_skip:
+            is_bp = self.mode[1:, 1:] == 4
             tot = self.eobs.sum(axis=2) - 16
-            self.skip = (tot == 0).astype(np.int32)
+            skip16 = (tot == 0)
+            skip_bp = self.eobs[:, :, :24].sum(axis=2) == 0
+            self.skip = np.where(is_bp, skip_bp, skip16).astype(np.int32)
 
         payload = self._pack(keyframe)
         self._pending = (keyframe, ry, ru, rv, mv8)
@@ -478,8 +660,9 @@ class TPUEncoder(Encoder):
         return payload
 
     def commit_frame(self, payload):
-        """Apply the device loop filter + reference swap for the accepted
-        frame (split out for the RC recode loop)."""
+        """Apply the device loop filter + reference-ring update for the
+        accepted frame (split out for the RC recode loop;
+        update_reference_frames onyx_if.c:2980 semantics)."""
         keyframe, ry, ru, rv, mv8 = self._pending
         self._pending = None
         j = jnp.asarray
@@ -489,7 +672,13 @@ class TPUEncoder(Encoder):
         cy, cu, cv = _lf_device(R, C, self.filter_level > 0, ry, ru, rv,
                                 j(flevel), j(mblim_a), j(blim_a), j(lim_a),
                                 j(hev_a), j(noskip_a))
-        self.ref = DeviceFrame(cy, cu, cv, self.w, self.h)
+        new = DeviceFrame(cy, cu, cv, self.w, self.h)
+        if self.refresh_golden:
+            self.ref_gold = new
+        if self.refresh_alt:
+            self.ref_alt = new
+        if self.refresh_last_flag:
+            self.ref_last = new
         self.prev_mv = mv8.copy()
         self.frame_count += 1
 

@@ -248,18 +248,28 @@ SPLITMV_M = 9
 def encode_recon_blocks(R, C, sch, src_y_b, src_u_b, src_v_b,
                         inter_y, inter_u, inter_v,
                         mode, uv_mode, intra, dq_y1, dq_y2, dq_uv, qidx,
-                        q_ext=None, e_ext=None, use_ext=None):
+                        q_ext=None, e_ext=None, use_ext=None,
+                        tcb3=None, bmode_cost=None, rdmult=None,
+                        rddiv=None):
     """Whole-frame encode pass over the wavefront (the encoder twin of
     intra_recon_blocks): intra predictions read true reconstructed
     neighbors from the diagonal store, residuals are transformed and
     quantized (dct.c / quantize.c duals), and the in-loop reconstruction
     (decodframe.c residual path) feeds the next diagonal.
 
+    B_PRED macroblocks (mode == B_PRED_M, intra): when tcb3/bmode_cost
+    are given, a per-MB 16-step sub-block recursion picks the best of 10
+    bmodes by token-cost RD from TRUE reconstructed neighbors
+    (rd_pick_intra4x4mby_modes, rdopt.c), gated per diagonal like the
+    decoder's B_PRED lanes.
+
     src_*_b: [N,16,16]/[N,8,8] int32 source blocks
     inter_*: [N,...] int32 inter predictions (garbage where intra)
-    Returns (qcoeff [N,25,16] i32, eobs [N,25] i32, recon y/u/v blocks).
+    Returns (qcoeff [N,25,16] i32, eobs [N,25] i32, recon y/u/v blocks,
+    bmodes [N,16] i32).
     """
     from ..ops import transforms as tf
+    from ..ops import rd_device as RD
     D, M = sch["D"], sch["M"]
     s = _j(sch)
     store_y0 = jnp.zeros((D, M, 16, 16), jnp.int32)
@@ -267,9 +277,10 @@ def encode_recon_blocks(R, C, sch, src_y_b, src_u_b, src_v_b,
     store_v0 = jnp.zeros((D, M, 8, 8), jnp.int32)
     store_q0 = jnp.zeros((D, M, 25, 16), jnp.int32)
     store_e0 = jnp.zeros((D, M, 25), jnp.int32)
+    store_b0 = jnp.zeros((D, M, 16), jnp.int32)
 
     def do_diag(carry, d):
-        sy, su, sv, sq, se = carry
+        sy, su, sv, sq, se, sb = carry
         r = s["r"][d]
         c = s["c"][d]
         n = s["n"][d]
@@ -278,13 +289,20 @@ def encode_recon_blocks(R, C, sch, src_y_b, src_u_b, src_v_b,
             rr, cc_, nn = r[m], c[m], n[m]
             up_ok = s["up_ok"][d][m]
             left_ok = s["left_ok"][d][m]
+            ar_ok = s["ar_ok"][d][m]
             up_blk = sy[d - 2, s["up"][d][m]]
             left_blk = sy[d - 1, s["left"][d][m]]
+            ar_blk = sy[d - 1, s["ar"][d][m]]
             al_blk = sy[d - 3, s["al"][d][m]]
             above = jnp.where(up_ok, up_blk[15, :], 127)
             leftc = jnp.where(left_ok, left_blk[:, 15], 129)
             tl = jnp.where(rr == 0, 127,
                            jnp.where(cc_ == 0, 129, al_blk[15, 15]))
+            arpx = jnp.where(rr == 0, jnp.full((4,), 127, jnp.int32),
+                             jnp.where(cc_ == C - 1,
+                                       jnp.full((4,), 1, jnp.int32)
+                                       * above[15],
+                                       ar_blk[15, :4]))
             pred16 = P.pred_nxn(mode[nn], above, leftc, tl,
                                 rr != 0, cc_ != 0, 16)
             pred_y = jnp.where(intra[nn], pred16, inter_y[nn])
@@ -366,27 +384,125 @@ def encode_recon_blocks(R, C, sch, src_y_b, src_u_b, src_v_b,
                 .reshape(8, 8)
             urec = jnp.clip(pred_u + ur, 0, 255)
             vrec = jnp.clip(pred_v + vr, 0, 255)
-            return yrec, urec, vrec, qall, eall
+            return (yrec, urec, vrec, qall, eall,
+                    above, leftc, tl, arpx, nn)
 
-        yb, ub, vb, qb, eb = jax.vmap(lane)(jnp.arange(M))
+        (yb, ub, vb, qb, eb, l_above, l_left, l_tl, l_arpx, l_nn) = \
+            jax.vmap(lane)(jnp.arange(M))
+        bmb = jnp.zeros((M, 16), jnp.int32)
+
+        if tcb3 is not None:
+            # B_PRED encode lanes: 16-step sub-block recursion choosing
+            # the best of 10 bmodes by token-cost RD from true recon
+            # neighbors; gated per diagonal (runtime lax.cond)
+            def run_bpred(args):
+                yb_, qb_, eb_, bmb_ = args
+
+                def bl(yblk, qall, eall, above, leftc, tl, arpx, nn):
+                    ws = jnp.zeros((17, 21), jnp.int32)
+                    ws = ws.at[0, 0].set(tl)
+                    ws = ws.at[0, 1:17].set(above)
+                    ws = ws.at[0, 17:21].set(arpx)
+                    ws = ws.at[1:17, 0].set(leftc)
+                    ws = ws.at[4, 17:21].set(arpx)
+                    ws = ws.at[8, 17:21].set(arpx)
+                    ws = ws.at[12, 17:21].set(arpx)
+                    src16 = src_y_b[nn]
+                    dqy1 = dq_y1[nn]
+                    qi = qidx[nn]
+                    dqv = jnp.concatenate([dqy1[:1],
+                                           jnp.repeat(dqy1[1:], 15)])
+
+                    def bstep(k, state):
+                        # fast bmode pick (pick_intra4x4mby_modes,
+                        # pickinter.c: prediction SSE + mode cost), then
+                        # transform/quant only the winner — keeps the
+                        # per-diagonal HLO small enough to compile under
+                        # the KD unroll
+                        ws, qout, eout, bmout = state
+                        ir = k >> 2
+                        ic = k & 3
+                        above8 = jax.lax.dynamic_slice(
+                            ws, (4 * ir, 1 + 4 * ic), (1, 8))[0]
+                        left4 = jax.lax.dynamic_slice(
+                            ws, (1 + 4 * ir, 4 * ic), (4, 1))[:, 0]
+                        tl4 = jax.lax.dynamic_slice(
+                            ws, (4 * ir, 4 * ic), (1, 1))[0, 0]
+                        preds = jnp.stack(
+                            P.bpred_4x4_all(above8, left4, tl4))
+                        src4 = jax.lax.dynamic_slice(
+                            src16, (4 * ir, 4 * ic), (4, 4))
+                        resid = src4[None] - preds
+                        sse = jnp.sum((resid * resid).astype(jnp.float32),
+                                      (-1, -2))
+                        rd10 = RD.rdc(bmode_cost, sse, rdmult, rddiv)
+                        mbest = jnp.argmin(rd10)
+                        coefs = tf.fdct4x4_batch(
+                            resid[mbest][None]).reshape(1, 16)
+                        qk, ek = tf.regular_quant_batch(
+                            coefs, dqy1[None], qi[None],
+                            jnp.zeros((), bool))
+                        qk = qk[0]
+                        ek = ek[0]
+                        dqc = tf._s16(qk * dqv)
+                        rec = jnp.clip(
+                            preds[mbest] +
+                            tf.idct4x4_batch(dqc.reshape(1, 4, 4))[0],
+                            0, 255)
+                        ws = jax.lax.dynamic_update_slice(
+                            ws, rec, (1 + 4 * ir, 1 + 4 * ic))
+                        qout = qout.at[k].set(qk)
+                        eout = eout.at[k].set(ek)
+                        bmout = bmout.at[k].set(mbest.astype(jnp.int32))
+                        return (ws, qout, eout, bmout)
+
+                    init = (ws, jnp.zeros((16, 16), jnp.int32),
+                            jnp.zeros((16,), jnp.int32),
+                            jnp.zeros((16,), jnp.int32))
+                    wsf, qout, eout, bmout = jax.lax.fori_loop(
+                        0, 16, bstep, init)
+                    recB = wsf[1:17, 1:17]
+                    is_bp = (mode[nn] == B_PRED_M) & intra[nn]
+                    yout = jnp.where(is_bp, recB, yblk)
+                    qbp = jnp.concatenate(
+                        [qout, qall[16:24],
+                         jnp.zeros((1, 16), jnp.int32)], 0)
+                    ebp = jnp.concatenate(
+                        [eout, eall[16:24], jnp.zeros((1,), jnp.int32)], 0)
+                    q2 = jnp.where(is_bp, qbp, qall)
+                    e2 = jnp.where(is_bp, ebp, eall)
+                    bm = jnp.where(is_bp, bmout, 0)
+                    return yout, q2, e2, bm
+
+                return jax.vmap(bl)(yb_, qb_, eb_, l_above, l_left,
+                                    l_tl, l_arpx, l_nn)
+
+            any_bpred = jnp.any((mode[n] == B_PRED_M) & intra[n] &
+                                s["valid"][d])
+            yb, qb, eb, bmb = jax.lax.cond(
+                any_bpred, run_bpred, lambda a: (a[0], a[1], a[2], a[3]),
+                (yb, qb, eb, bmb))
+
         sy = jax.lax.dynamic_update_slice(sy, yb[None], (d, 0, 0, 0))
         su = jax.lax.dynamic_update_slice(su, ub[None], (d, 0, 0, 0))
         sv = jax.lax.dynamic_update_slice(sv, vb[None], (d, 0, 0, 0))
         sq = jax.lax.dynamic_update_slice(sq, qb[None], (d, 0, 0, 0))
         se = jax.lax.dynamic_update_slice(se, eb[None], (d, 0, 0))
-        return (sy, su, sv, sq, se)
+        sb = jax.lax.dynamic_update_slice(sb, bmb[None], (d, 0, 0))
+        return (sy, su, sv, sq, se, sb)
 
     def step(carry, d0):
         for kk in range(KD):
             carry = do_diag(carry, d0 + kk)
         return carry, None
 
-    (sy, su, sv, sq, se), _ = jax.lax.scan(
-        step, (store_y0, store_u0, store_v0, store_q0, store_e0),
+    (sy, su, sv, sq, se, sb), _ = jax.lax.scan(
+        step, (store_y0, store_u0, store_v0, store_q0, store_e0,
+               store_b0),
         jnp.arange(0, D, KD))
     mb_d, mb_m = _j(sch)["mb_d"], _j(sch)["mb_m"]
     return (sq[mb_d, mb_m], se[mb_d, mb_m], sy[mb_d, mb_m],
-            su[mb_d, mb_m], sv[mb_d, mb_m])
+            su[mb_d, mb_m], sv[mb_d, mb_m], sb[mb_d, mb_m])
 
 
 # ---------------------------------------------------------------------------

@@ -150,6 +150,97 @@ def subpel_refine(ref_plane, src_blocks, mb_pos, mv_fp, best_sad, taps,
     return mv, best_sad
 
 
+def near_mv_lattice(mvf, R, C):
+    """Batched vp8_find_near_mvs (findnearmv.c:24-140, decodemv.c:348-407)
+    under the device-decision approximation that every in-frame neighbor
+    is an inter MB coded with the given motion field (sign bias 0, no
+    SPLITMV neighbors).  The pack layer recomputes the exact lattice from
+    final modes; this one prices NEAREST/NEAR/ZERO candidates during the
+    batched decision.
+
+    mvf [N, 2] int32 eighth-pel.  Returns (nearest, near, best) [N, 2]
+    clamped MVs and cnt [N, 4] for MODE_CONTEXTS indexing."""
+    mv = mvf.reshape(R, C, 2)
+    zero2 = jnp.zeros((R, C, 2), jnp.int32)
+    amv = jnp.concatenate([zero2[:1], mv[:-1]], 0)
+    lmv = jnp.concatenate([zero2[:, :1], mv[:, :-1]], 1)
+    almv = jnp.concatenate(
+        [zero2[:1], jnp.concatenate([zero2[1:, :1], mv[:-1, :-1]], 1)], 0)
+    va = jnp.broadcast_to(jnp.arange(R)[:, None] > 0, (R, C))
+    vl = jnp.broadcast_to(jnp.arange(C)[None, :] > 0, (R, C))
+    val = va & vl
+
+    def nz(m):
+        return (m != 0).any(-1)
+
+    i32 = jnp.int32
+    # above neighbor (weight 2)
+    a_nz = va & nz(amv)
+    near1 = jnp.where(a_nz[..., None], amv, 0)
+    near2 = zero2
+    cnt0 = jnp.where(va & ~a_nz, 2, 0).astype(i32)
+    cnt1 = jnp.where(a_nz, 2, 0).astype(i32)
+    cnt2 = jnp.zeros((R, C), i32)
+    cnt3 = jnp.zeros((R, C), i32)
+    nmv = a_nz.astype(i32)
+    # left neighbor (weight 2)
+    l_nz = vl & nz(lmv)
+    same_l = l_nz & (nmv == 1) & (lmv == near1).all(-1)
+    cnt1 = cnt1 + jnp.where(same_l, 2, 0)
+    new_l = l_nz & ~same_l
+    to2 = new_l & (nmv == 1)
+    to1 = new_l & (nmv == 0)
+    near2 = jnp.where(to2[..., None], lmv, near2)
+    near1 = jnp.where(to1[..., None], lmv, near1)
+    cnt2 = cnt2 + jnp.where(to2, 2, 0)
+    cnt1 = cnt1 + jnp.where(to1, 2, 0)
+    cnt0 = cnt0 + jnp.where(vl & ~l_nz, 2, 0)
+    nmv = nmv + new_l.astype(i32)
+    # above-left neighbor (weight 1) — compared against the most recently
+    # entered MV only (near_mvs[nmv]), like the reference
+    al_nz = val & nz(almv)
+    cur_top = jnp.where((nmv == 2)[..., None], near2, near1)
+    same_al = al_nz & (nmv > 0) & (almv == cur_top).all(-1)
+    cnt1 = cnt1 + (same_al & (nmv == 1)).astype(i32)
+    cnt2 = cnt2 + (same_al & (nmv == 2)).astype(i32)
+    new_al = al_nz & ~same_al
+    t1 = new_al & (nmv == 0)
+    t2 = new_al & (nmv == 1)
+    t3 = new_al & (nmv == 2)
+    near1 = jnp.where(t1[..., None], almv, near1)
+    near2 = jnp.where(t2[..., None], almv, near2)
+    cnt1 = cnt1 + t1.astype(i32)
+    cnt2 = cnt2 + t2.astype(i32)
+    cnt3 = cnt3 + t3.astype(i32)
+    cnt0 = cnt0 + jnp.where(val & ~al_nz, 1, 0)
+    # "if cnt[3] && near_mvs[nmv] == near_mvs[1]: cnt[1] += 1"
+    cnt1 = cnt1 + (t3 & (almv == near1).all(-1)).astype(i32)
+    cnt3 = jnp.zeros((R, C), i32)      # SPLITMV neighbor count: none
+    # order NEAREST/NEAR by count
+    swap = cnt2 > cnt1
+    n1 = jnp.where(swap[..., None], near2, near1)
+    n2 = jnp.where(swap[..., None], near1, near2)
+    c1 = jnp.where(swap, cnt2, cnt1)
+    c2 = jnp.where(swap, cnt1, cnt2)
+    best = jnp.where((c1 >= cnt0)[..., None], n1, 0)
+    # vp8_clamp_mv2 bounds (MARGIN = 16<<3)
+    rows = jnp.arange(R)[:, None]
+    cols = jnp.arange(C)[None, :]
+    lo_r = (-(rows * 16) << 3) - 128
+    hi_r = (((R - 1 - rows) * 16) << 3) + 128
+    lo_c = (-(cols * 16) << 3) - 128
+    hi_c = (((C - 1 - cols) * 16) << 3) + 128
+
+    def clamp(m):
+        return jnp.stack([jnp.clip(m[..., 0], lo_r, hi_r),
+                          jnp.clip(m[..., 1], lo_c, hi_c)], -1)
+
+    N = R * C
+    cnt = jnp.stack([cnt0, c1, c2, cnt3], -1).reshape(N, 4)
+    return (clamp(n1).reshape(N, 2), clamp(n2).reshape(N, 2),
+            clamp(best).reshape(N, 2), cnt)
+
+
 def intra_mode_preds(src_plane, mb_pos, n_rows, n_cols, bw):
     """Batched DC/V/H/TM 16x16/8x8 predictions from SOURCE neighbors
     (decision approximation; reconstruction later uses true recon

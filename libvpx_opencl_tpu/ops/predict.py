@@ -123,6 +123,15 @@ def bpred_4x4(mode, above8, left4, tl):
 
     above8: [8] int32 (Above[0..7]), left4: [4], tl scalar. Returns [4,4].
     """
+    blocks = bpred_4x4_all(above8, left4, tl)
+    return jax.lax.switch(jnp.clip(mode, 0, 9),
+                          [lambda b=b: b for b in blocks])
+
+
+def bpred_4x4_all(above8, left4, tl):
+    """All ten 4x4 B_PRED predictions at once (for the encoder's
+    per-subblock mode search).  Returns a list of 10 [4,4] blocks in
+    bmode order B_DC,B_TM,B_VE,B_HE,B_LD,B_RD,B_VR,B_VL,B_HD,B_HU."""
     A = above8
     L = left4
     out = []
@@ -181,9 +190,7 @@ def bpred_4x4(mode, above8, left4, tl):
                    h2(q[2], q[3]), e3(q[2], q[3], q[3])]),
         jnp.stack([h2(q[2], q[3]), e3(q[2], q[3], q[3]), q[3], q[3]]),
         jnp.stack([q[3], q[3], q[3], q[3]])])
-    blocks = [b_dc, b_tm, b_ve, b_he, b_ld, b_rd, b_vr, b_vl, b_hd, b_hu]
-    return jax.lax.switch(jnp.clip(mode, 0, 9),
-                          [lambda b=b: b for b in blocks])
+    return [b_dc, b_tm, b_ve, b_he, b_ld, b_rd, b_vr, b_vl, b_hd, b_hu]
 
 
 def _build_vr(ed, hd):

@@ -13,6 +13,9 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: no persistent compilation cache here on purpose — XLA:CPU's
+# persistent cache routes compiles through its (much slower) AOT
+# pipeline; measured 156s JIT vs >20min AOT for the encode wavefront.
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -110,3 +110,36 @@ def test_splitmv_and_picklpf_roundtrip():
     assert enc.filter_level == enc._picked_level  # picklpf was in charge
     ey, _, _ = enc.dec.frame_to_show.visible()
     assert np.array_equal(ey, dy)
+
+
+def test_speed_ladder_distinct_levels():
+    """--cpu-used ladder (vp8_set_speed_features role): at least three
+    distinct effort levels produce valid streams with graded
+    size/quality at fixed Q."""
+    from libvpx_opencl_tpu.models.encoder import speed_features
+    from libvpx_opencl_tpu.models.refdec import RefDecoder
+    s0, s4, s9 = speed_features(0), speed_features(4), speed_features(9)
+    assert s0 != s4 != s9 and s0 != s9
+    assert s0.exhaustive_me and not s4.exhaustive_me
+    assert s0.splitmv and not s4.splitmv
+    assert s4.rd and not s9.rd
+
+    w, h, n = 176, 144, 4
+    frames = synth(w, h, n)
+    sizes, psnrs = {}, {}
+    for spd in (0, 4, 9):
+        enc = Encoder(w, h, qindex=40, cpu_used=spd)
+        dec = type("D", (RefDecoder,), {"use_native": True})()
+        tot, ps = 0, []
+        for y, u, v in frames:
+            p = enc.encode_frame(y, u, v)
+            tot += len(p)
+            show, (dy, du, dv) = dec.decode_frame(p)
+            ps.append(psnr(y, dy))
+        sizes[spd] = tot
+        psnrs[spd] = sum(ps) / len(ps)
+    # better effort never loses at fixed Q: size shrinks (or quality
+    # rises) going from speed 9 -> 4 -> 0
+    assert sizes[0] <= sizes[4] * 1.02, (sizes, psnrs)
+    assert sizes[4] <= sizes[9] * 1.02, (sizes, psnrs)
+    assert psnrs[0] >= psnrs[9] - 0.3, (sizes, psnrs)

@@ -101,7 +101,7 @@ def run_tpu(frames, w, h, q):
         payload = enc.encode_frame(y, u, v)
         total += len(payload) + 12
         decoded.append(tuple(np.asarray(p).copy()
-                             for p in enc.ref.visible()))
+                             for p in enc.ref_last.visible()))
     return total + 32, clip_psnr(frames, decoded)
 
 
