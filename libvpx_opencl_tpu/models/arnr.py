@@ -132,6 +132,41 @@ def synthesize_altref(frames, alt_index, strength=6, max_frames=5,
         norm(acc_v, cnt_v, cv)
 
 
+def encode_twopass_altref(enc, tp, frames, strength=6, max_frames=5):
+    """Two-pass encode with pass-1-driven ARF placement: at each GF-group
+    boundary found by define_gf_group (firstpass.c:1250 role) an ARNR-
+    filtered frame anchored at the group's far end is encoded as an
+    invisible ALTREF update at a gfu-boosted (lower) quantizer; golden
+    frames inside the group take their boosted bit share via
+    TwoPassController.frame_target.  Returns the payload list."""
+    payloads = []
+    for i, f in enumerate(frames):
+        y, u, v = f[:3]
+        kf = tp.want_keyframe()
+        center = tp.arf_center_of.get(i)
+        if (tp.auto_altref and not kf and center is not None and
+                center > i + 1):
+            ay, au, av = synthesize_altref(frames, center,
+                                           strength=strength,
+                                           max_frames=max_frames)
+            gb = min(tp.gf_boosts.get(i, 12.0), 48.0)
+            target = tp.frame_target(False) * (1.0 + gb / 8.0)
+            q = tp.rc.regulate_q(target, False, golden=True)
+            saved_q = enc.qindex
+            enc.qindex = q
+            p = enc.encode_frame(ay, au, av, keyframe=False, show=False,
+                                 refresh_alt=True, refresh_last=False)
+            enc.qindex = saved_q
+            tp.arf_done(q, len(p) * 8)
+            payloads.append(p)
+        q = tp.frame_q(kf)
+        enc.qindex = q
+        p = enc.encode_frame(y, u, v, keyframe=kf)
+        tp.update(q, len(p) * 8, kf)
+        payloads.append(p)
+    return payloads
+
+
 def encode_sequence_altref(enc, rc, frames, gf_interval=8, max_frames=5,
                            strength=6):
     """Encode a frame sequence with periodic ARNR altref synthesis

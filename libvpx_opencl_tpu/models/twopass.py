@@ -174,11 +174,37 @@ def boost_score(stats, start, max_frames=16):
     return score
 
 
+def define_gf_group(stats, start, end, max_interval=15):
+    """define_gf_group (firstpass.c:1250,2290 role): walk frames from
+    `start` accumulating golden-frame-usefulness boost with the decaying
+    prediction-quality model (calc_frame_boost shape); the group ends
+    when the prediction chain collapses (high motion / poor inter) or the
+    interval limit is hit.  Returns (interval, gfu_boost)."""
+    boost = 0.0
+    decay = 1.0
+    i = start
+    while i < end:
+        s = stats[i]
+        ii = s.intra_error / max(1.0, s.coded_error)
+        boost += decay * min(ii * 2.0, 16.0)
+        pred_quality = s.pcnt_inter * 0.85
+        # motion amplitude erodes how useful a distant golden frame is
+        amp = (s.mvr_abs + s.mvc_abs) / 32.0
+        decay *= min(1.0, max(0.1, pred_quality + 0.25 - amp))
+        i += 1
+        n = i - start
+        if n >= max_interval:
+            break
+        if n >= 4 and decay < 0.4:
+            break
+    return i - start, boost
+
+
 class TwoPassController:
     """Pass-2 allocation driving RateController.regulate_q."""
 
     def __init__(self, stats, target_bitrate_kbps, fps, mb_count,
-                 min_q=4, max_q=127):
+                 min_q=4, max_q=127, auto_altref=False):
         from .ratecontrol import RateController
         self.stats = stats
         self.n = len(stats)
@@ -188,6 +214,7 @@ class TwoPassController:
         self.bits_total = target_bitrate_kbps * 1000.0 / fps * self.n
         self.spent = 0.0
         self.idx = 0
+        self.auto_altref = bool(auto_altref)
 
         # keyframe group segmentation
         self.kf_positions = [i for i in range(self.n)
@@ -209,8 +236,32 @@ class TwoPassController:
             self.kf_boosts.append(boost_score(stats, lo))
         self.group_spent = [0.0] * len(self.group_bits)
 
+        # golden-frame groups inside each KF group (define_gf_group):
+        # gf_positions are group starts (skipping the KF itself);
+        # arf_center_of maps a gf position to the display index the
+        # synthesized ARF should anchor on (the group's far end)
+        self.gf_positions = []
+        self.gf_boosts = {}
+        self.arf_center_of = {}
+        for g in range(len(self.kf_positions)):
+            lo, hi = bounds[g], bounds[g + 1]
+            i = lo
+            while i < hi:
+                interval, gboost = define_gf_group(stats, i, hi)
+                if i != lo:
+                    self.gf_positions.append(i)
+                    self.gf_boosts[i] = gboost
+                if interval <= 0:
+                    break
+                self.arf_center_of[i] = min(i + interval, self.n - 1)
+                i += interval
+
     def want_keyframe(self):
         return self.idx in self.kf_positions
+
+    def want_golden(self):
+        """True at motion-scaled GF-group boundaries (non-KF)."""
+        return self.idx in self.gf_positions
 
     def frame_target(self, keyframe):
         i = min(self.idx, self.n - 1)
@@ -228,7 +279,21 @@ class TwoPassController:
         else:
             err_rest = sum(self.mod_err[i:hi]) or 1e-9
             target = remaining * (self.mod_err[i] / err_rest)
+            if i in self.gf_boosts:
+                # golden frames take a gfu_boost-scaled extra share
+                # (define_gf_group allocation, firstpass.c:1250)
+                gb = min(self.gf_boosts[i], 48.0)
+                target *= (1.0 + gb / 32.0)
         return max(target, self.rc.per_frame_bandwidth / 8.0)
+
+    def arf_done(self, q, used_bits):
+        """Charge an out-of-band ARF frame to the current group without
+        advancing the display-frame cursor."""
+        g = int(self.group_of[min(self.idx, self.n - 1)])
+        self.group_spent[g] += used_bits
+        self.spent += used_bits
+        self.rc.update_rate_correction_factor(q, used_bits, False,
+                                              golden=True)
 
     def frame_q(self, keyframe):
         target = self.frame_target(keyframe)

@@ -85,3 +85,45 @@ def test_twopass_beats_onepass_at_matched_rate():
     credit = 0.0 if size2 >= size1 else 0.2
     assert p2 + credit > p1, f"two-pass {p2:.2f}dB/{size2}B " \
         f"vs one-pass {p1:.2f}dB/{size1}B"
+
+
+def test_twopass_arf_beats_onepass(tmp_path):
+    """VERDICT round-3 'done' criterion: two-pass + auto-alt-ref beats
+    one-pass PSNR at matched bitrate on a 30+ frame clip (GF groups from
+    define_gf_group + ARNR ARF placement from pass-1 stats)."""
+    from libvpx_opencl_tpu.models.arnr import encode_twopass_altref
+    from libvpx_opencl_tpu.models.refdec import RefDecoder
+    from test_arnr import noisy_synth, _decode_all
+
+    w, h, n = 176, 144, 32
+    kbps = 400
+    frames = noisy_synth(w, h, n, sigma=5.0)
+    mb = ((h + 15) // 16) * ((w + 15) // 16)
+
+    # one-pass CBR
+    enc1 = Encoder(w, h, qindex=40, rd=False)
+    rc1 = RateController(kbps, 30.0, mb, end_usage="cbr",
+                         starting_buffer_ms=5000, kf_max_dist=9999)
+    size1, ps1 = 0, []
+    for y, u, v in frames:
+        p = encode_frame_with_rc(enc1, rc1, y, u, v)
+        size1 += len(p)
+        ps1.append(psnr(y, enc1.dec.frame_to_show.visible()[0]))
+
+    # two-pass + auto-alt-ref at the same target
+    stats = twopass.first_pass(frames)
+    tp = twopass.TwoPassController(stats, kbps, 30.0, mb,
+                                   auto_altref=True)
+    assert tp.arf_center_of, "no GF groups defined"
+    enc2 = Encoder(w, h, qindex=40, rd=False)
+    payloads = encode_twopass_altref(enc2, tp, frames)
+    size2 = sum(len(p) for p in payloads)
+    shown = _decode_all(payloads, w, h)
+    assert len(shown) == n
+    ps2 = [psnr(f[0], d[0]) for f, d in zip(frames, shown)]
+
+    p1, p2 = float(np.mean(ps1)), float(np.mean(ps2))
+    assert size2 < size1 * 1.08, (size1, size2)
+    credit = 0.2 if size2 < size1 else 0.0
+    assert p2 + credit > p1, \
+        f"twopass+arf {p2:.2f}dB/{size2}B vs onepass {p1:.2f}dB/{size1}B"
