@@ -251,6 +251,16 @@ class Encoder:
         self.prob_gf = 128
         self.prob_skip_false = 192
 
+    def _reset_key_frame_state(self):
+        """vp8_setup_key_frame (onyx_if.c): keyframes reset the adaptive
+        mode-signaling probabilities to defaults, so a stream is
+        bit-identical whether encoded straight through or restarted at
+        each keyframe (the GOP-parallel encode invariant)."""
+        self.prob_intra = 63
+        self.prob_last = 255
+        self.prob_gf = 128
+        self.prob_skip_false = 192
+
     def set_roimap(self, seg_map, q_deltas, lf_deltas=(0, 0, 0, 0)):
         """vp8_set_roimap (onyx_if.c:5112) / VP8E_SET_ROI_MAP: per-MB
         segment ids with per-segment quantizer and loop-filter deltas
@@ -362,6 +372,8 @@ class Encoder:
         onyx_if.c:3600-3800); call commit_frame(payload) to accept."""
         if keyframe is None:
             keyframe = self.frame_count == 0
+        if keyframe:
+            self._reset_key_frame_state()
         self.refresh_last_flag = bool(refresh_last) or keyframe
         R, C = self.R, self.C
         b = BORDER

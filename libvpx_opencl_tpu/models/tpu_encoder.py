@@ -150,8 +150,9 @@ def _bpred_rd(R, C, src_y_pl, yb, dq1, qidx, tcb3, bmode_cost,
     return b_rate, b_dist
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _decide_rd_inter(R, C, n_refs, refs_y, refs_u, refs_v, src_y_pl,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _decide_rd_inter(R, C, n_refs, me_step, refs_y, refs_u, refs_v,
+                     src_y_pl,
                      src_u_pl, src_v_pl, yb, ub, vb, centers, taps,
                      lo_r, hi_r, lo_c, hi_c, mvcost, prev8, sadpb,
                      tcb0, tcb1, tcb2, tcb3, dq1, dq2, dqu, qidx,
@@ -180,7 +181,7 @@ def _decide_rd_inter(R, C, n_refs, refs_y, refs_u, refs_v, src_y_pl,
     mvs = []
     for k in range(n_refs):
         mv_fp, sad_fp = ME.full_search(refs_y[k], yb, centers, mb_pos,
-                                       mv_pen=pen)
+                                       mv_pen=pen, step=me_step)
         mv8k, _ = ME.subpel_refine(refs_y[k], yb, mb_pos, mv_fp, sad_fp,
                                    taps, bounds, mv_pen=pen)
         mvs.append(mv8k)
@@ -437,6 +438,9 @@ class TPUEncoder(Encoder):
                      refresh_alt=False):
         if keyframe is None:
             keyframe = self.frame_count == 0
+        if keyframe:
+            self._reset_key_frame_state()
+            self.prev_mv = np.zeros((self.R * self.C, 2), np.int32)
         self.refresh_last_flag = bool(refresh_last) or keyframe
         if refresh_golden is None:
             refresh_golden = bool(
@@ -579,8 +583,9 @@ class TPUEncoder(Encoder):
             modectx = j(np.asarray(T.MODE_CONTEXTS, np.int32))
             c0tab = j(rdopt._C0.astype(np.int32))
             c1tab = j(rdopt._C1.astype(np.int32))
+            me_step = 1 if self.sf.exhaustive_me else 2
             mv8_d, refk_d, ymode_d, uvb_d = _decide_rd_inter(
-                R, C, n_refs, refs_y, refs_u, refs_v,
+                R, C, n_refs, me_step, refs_y, refs_u, refs_v,
                 src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
                 j(centers.astype(np.int32)), taps, lo_r, hi_r, lo_c, hi_c,
                 mvcost, pred8, sadpb, tcb0, tcb1, tcb2, tcb3,

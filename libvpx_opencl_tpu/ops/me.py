@@ -32,8 +32,12 @@ def _mv_penalty(mvcost, d8_r, d8_c, sadpb):
     return (c * sadpb + 128) >> 8
 
 
-def full_search(ref_plane, src_blocks, centers, mb_pos, mv_pen=None):
-    """Step-2 + refine full-pel search.
+def full_search(ref_plane, src_blocks, centers, mb_pos, mv_pen=None,
+                step=2):
+    """Full-pel window search: step-1 exhaustive (vp8_full_search_sad
+    mcomp.c:1295 — a step-2 grid misses the delta-function SAD minima of
+    textured content, the round-3 quality cliff) or step-2 + refine for
+    the fast ladder.
 
     ref_plane [H, W] uint8 padded; src_blocks [N, 16, 16] int32;
     centers [N, 2] full-pel search centers (dy, dx) relative to the MB
@@ -63,7 +67,7 @@ def full_search(ref_plane, src_blocks, centers, mb_pos, mv_pen=None):
             rows.append(sad)
         return jnp.stack(rows, axis=1), cands  # [N,k,k]
 
-    sads, cands = grid_sads(win, 2, -RNG, RNG)
+    sads, cands = grid_sads(win, step, -RNG, RNG)
     k = len(cands)
     if mv_pen is not None:
         # MV-rate costing over the whole grid (vp8_full_search_sad's

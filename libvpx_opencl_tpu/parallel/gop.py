@@ -56,3 +56,38 @@ def decode_streams(streams, n_devices=None, gop=None):
 
     with ThreadPoolExecutor(max_workers=len(groups)) as pool:
         return list(pool.map(run, zip(streams, groups)))
+
+
+def encode_gops(frames, w, h, gop_len, n_devices=None, qindex=24,
+                **enc_kwargs):
+    """GOP-parallel encode (the encode leg of BASELINE config 5): the
+    clip is cut into keyframe-led groups of gop_len frames; each group
+    encodes on its own device of a ('gop',) mesh concurrently.  Because
+    keyframes reset every piece of encoder state the bitstream depends on
+    (reference ring by definition; adaptive mode probabilities via
+    vp8_setup_key_frame — Encoder._reset_key_frame_state), the
+    concatenated payload list is BIT-IDENTICAL to a single-device
+    sequential encode with the same keyframe placement
+    (tests/test_gop_encode.py asserts this).
+
+    Returns the flat payload list in display order."""
+    import jax
+    from ..models.tpu_encoder import TPUEncoder
+
+    groups = [frames[i:i + gop_len] for i in range(0, len(frames),
+                                                   gop_len)]
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+
+    def run(args):
+        gi, grp = args
+        dev = devs[gi % len(devs)]
+        with jax.default_device(dev):
+            enc = TPUEncoder(w, h, qindex=qindex, **enc_kwargs)
+            return [enc.encode_frame(y, u, v, keyframe=(i == 0))
+                    for i, (y, u, v) in enumerate(grp)]
+
+    with ThreadPoolExecutor(max_workers=len(groups)) as pool:
+        outs = list(pool.map(run, enumerate(groups)))
+    return [p for grp in outs for p in grp]

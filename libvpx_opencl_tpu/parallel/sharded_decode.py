@@ -54,8 +54,44 @@ def make_row_mesh(n_devices=None):
     return Mesh(np.array(devs), ("row",))
 
 
+HALO_BUCKETS = (1, 2, 4, 9, 18)   # MB rows; 18 covers the ±255.75px
+#                                   coded-MV ceiling + filter margins
+
+
+def _halo_exchange(plane, axis_name, n_row, rows, halo, sidx, valid_h):
+    """Assemble a locally-extended reference plane from neighbor shards.
+
+    plane [nref, rows, W] (this shard's slice of a row-sharded plane);
+    halo px of rows are pulled from up to ceil(halo/rows) neighbors each
+    way over ICI ppermutes (the bounded-halo alternative to a full
+    all-gather — reach is bounded by the UMV clamp + the per-frame
+    measured MV field, reconinter.c:348-383).  Rows outside the true
+    frame (valid_h px) are replaced by the nearest valid row
+    (vp8_yv12_extend_frame_borders semantics).  Returns
+    [nref, halo + rows + halo, W]."""
+    hops = -(-halo // rows)
+    above = []
+    below = []
+    for i in range(1, hops + 1):
+        h = min(rows, halo - (i - 1) * rows)
+        up_perm = [(s, (s + i) % n_row) for s in range(n_row)]
+        dn_perm = [(s, (s - i) % n_row) for s in range(n_row)]
+        above.insert(0, jax.lax.ppermute(plane[:, rows - h:, :],
+                                         axis_name, up_perm))
+        below.append(jax.lax.ppermute(plane[:, :h, :],
+                                      axis_name, dn_perm))
+    ext = jnp.concatenate(above + [plane] + below, axis=1)
+    # nearest-valid-row substitution for out-of-frame halo rows (and the
+    # Rp grid-padding dummy rows at the bottom)
+    j = jnp.arange(ext.shape[1])
+    gidx = sidx * rows - halo + j
+    tgt = jnp.clip(gidx, 0, valid_h - 1) - (sidx * rows - halo)
+    tgt = jnp.clip(tgt, 0, ext.shape[1] - 1)
+    return jnp.take(ext, tgt, axis=1)
+
+
 @functools.lru_cache(maxsize=32)
-def _build_program(mesh, R, Rp, C, simple_lf, do_lf):
+def _build_program(mesh, R, Rp, C, simple_lf, do_lf, halo_mb):
     """Jitted sharded frame program for an Rp x C padded MB grid.
 
     Global input shapes (leading dims sharded by 'row'):
@@ -64,6 +100,8 @@ def _build_program(mesh, R, Rp, C, simple_lf, do_lf):
       y_mv    [Rp, C, 16, 2] i32      uv_mv [Rp, C, 4, 2] i32
       ref_y   [3, Rp*16, C*16] u8     ref_u/v [3, Rp*8, C*8] u8
       taps    [8, 6] i32 (replicated)
+    halo_mb: MB rows of reference halo exchanged per side (sized by the
+    host from the frame's decoded MV field, bucketed via HALO_BUCKETS).
     Returns (y [Rp*16, C*16], u, v) uint8 planes, row-sharded, unfiltered
     borders (the ref ring stores visible-area planes; the program pads).
     """
@@ -71,6 +109,8 @@ def _build_program(mesh, R, Rp, C, simple_lf, do_lf):
     assert Rp % n_row == 0
     Rs = Rp // n_row
     Nl = Rs * C
+    halo_y = halo_mb * 16
+    halo_c = halo_mb * 8
 
     def per_shard(qcoeff, u8b, i16b, bmodes, y_mv, uv_mv,
                   ref_y, ref_u, ref_v, taps):
@@ -87,31 +127,28 @@ def _build_program(mesh, R, Rp, C, simple_lf, do_lf):
             i16[I16_DQY2DC:I16_DQY2AC + 1].T,
             i16[I16_DQUVDC:I16_DQUVAC + 1].T, u32[U8_HASY2] != 0)
 
-        # 2. inter MC: all-gather refs along 'row' (ICI), pad borders,
-        #    per-tile sub-pel prediction for every MB (SPLITMV and uniform
-        #    MBs share the path — filter windows are position-independent)
-        gy = jax.lax.all_gather(ref_y, "row", axis=1, tiled=True)
-        gu = jax.lax.all_gather(ref_u, "row", axis=1, tiled=True)
-        gv = jax.lax.all_gather(ref_v, "row", axis=1, tiled=True)
-        # crop away the grid-padding dummy rows BEFORE the border pad so
-        # the bottom border replicates the real last row
-        # (vp8_yv12_extend_frame_borders semantics, yv12extend.c:23-145)
-        gy = jnp.pad(gy[:, :R * 16],
-                     ((0, 0), (B, B + (Rp - R) * 16), (B, B)), mode="edge")
-        gu = jnp.pad(gu[:, :R * 8],
-                     ((0, 0), (B2, B2 + (Rp - R) * 8), (B2, B2)),
-                     mode="edge")
-        gv = jnp.pad(gv[:, :R * 8],
-                     ((0, 0), (B2, B2 + (Rp - R) * 8), (B2, B2)),
-                     mode="edge")
+        # 2. inter MC on bounded-halo extended references: ppermute halo
+        #    strips sized by the frame's MV reach (no full all-gather),
+        #    then per-tile sub-pel prediction (SPLITMV and uniform MBs
+        #    share the path — filter windows are position-independent)
+        gy = _halo_exchange(ref_y, "row", n_row, Rs * 16, halo_y, sidx,
+                            R * 16)
+        gu = _halo_exchange(ref_u, "row", n_row, Rs * 8, halo_c, sidx,
+                            R * 8)
+        gv = _halo_exchange(ref_v, "row", n_row, Rs * 8, halo_c, sidx,
+                            R * 8)
+        gy = jnp.pad(gy, ((0, 0), (B, B), (B, B)), mode="edge")
+        gu = jnp.pad(gu, ((0, 0), (B2, B2), (B2, B2)), mode="edge")
+        gv = jnp.pad(gv, ((0, 0), (B2, B2), (B2, B2)), mode="edge")
 
         nidx = jnp.arange(Nl)
         g_r = nidx // C + sidx * Rs     # global MB row
+        l_r = nidx // C                 # shard-local MB row
         l_c = nidx % C
         ref_idx = u32[U8_REF]
         ymv = y_mv.reshape(Nl, 16, 2)
         k = jnp.arange(16)
-        ty0 = (B + g_r[:, None] * 16 + (k[None, :] >> 2) * 4 +
+        ty0 = (B + halo_y + l_r[:, None] * 16 + (k[None, :] >> 2) * 4 +
                (ymv[:, :, 0] >> 3)).reshape(-1)
         tx0 = (B + l_c[:, None] * 16 + (k[None, :] & 3) * 4 +
                (ymv[:, :, 1] >> 3)).reshape(-1)
@@ -123,7 +160,7 @@ def _build_program(mesh, R, Rp, C, simple_lf, do_lf):
             .reshape(Nl, 16, 16)
         cmv = uv_mv.reshape(Nl, 4, 2)
         q = jnp.arange(4)
-        qy0 = (B2 + g_r[:, None] * 8 + (q[None, :] >> 1) * 4 +
+        qy0 = (B2 + halo_c + l_r[:, None] * 8 + (q[None, :] >> 1) * 4 +
                (cmv[:, :, 0] >> 3)).reshape(-1)
         qx0 = (B2 + l_c[:, None] * 8 + (q[None, :] & 1) * 4 +
                (cmv[:, :, 1] >> 3)).reshape(-1)
@@ -254,8 +291,37 @@ class ShardedTPUDecoder(TPUDecoder):
         # _prep_arrays zeroes MVs for out-of-band / SPLITMV MBs (the dense-
         # MC exclusion of the single-chip path); the sharded per-tile path
         # handles them directly via y_mv/uv_mv, which are already complete.
+
+        # bounded-halo size from this frame's decoded MV field: the px
+        # reach of every MB's MC window beyond its own shard, bucketed to
+        # bound the number of compiled variants (worst case = 18 MB rows,
+        # the ±255.75px coded-MV ceiling; typical content lands in 1-2)
+        Rs = Rp // self.n_row
+        g_r = (np.arange(N) // C)
+        shard_lo = (g_r // Rs) * Rs * 16
+        shard_hi = shard_lo + Rs * 16
+        mv_up = (y_mv[:N, :, 0].min(axis=1) >> 3)
+        mv_dn = (y_mv[:N, :, 0].max(axis=1) >> 3)
+        top_read = g_r * 16 + mv_up - 2
+        bot_read = g_r * 16 + 15 + mv_dn + 3
+        need_y = max(int(np.max(shard_lo - top_read, initial=0)),
+                     int(np.max(bot_read - shard_hi + 1, initial=0)))
+        cmv_up = (uv_mv[:N, :, 0].min(axis=1) >> 3)
+        cmv_dn = (uv_mv[:N, :, 0].max(axis=1) >> 3)
+        ctop = g_r * 8 + cmv_up - 2
+        cbot = g_r * 8 + 7 + cmv_dn + 3
+        need_c = max(int(np.max(shard_lo // 2 - ctop, initial=0)),
+                     int(np.max(cbot - shard_hi // 2 + 1, initial=0)))
+        need_mb = max(1, -(-max(need_y, 2 * need_c) // 16))
+        halo_mb = next((b for b in HALO_BUCKETS if b >= need_mb),
+                       HALO_BUCKETS[-1])
+        # cap at "every other shard" (= all-gather equivalence); 1-shard
+        # meshes need no halo at all
+        halo_mb = min(halo_mb, (self.n_row - 1) * Rs) \
+            if self.n_row > 1 else 0
+
         prog = _build_program(self.mesh, R, Rp, C, bool(self.simple_filter),
-                              self.filter_level > 0)
+                              self.filter_level > 0, halo_mb)
         shard = NamedSharding(self.mesh, PSpec("row"))
         shard2 = NamedSharding(self.mesh, PSpec(None, "row"))
         dev = jax.device_put(
