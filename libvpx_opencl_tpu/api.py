@@ -109,7 +109,8 @@ class CodecDecoder:
                 y, u, v = PP.debug_overlay(
                     y, u, v, self._pp.flags,
                     mode=getattr(self._dec, "mode", None),
-                    ref_frame=getattr(self._dec, "ref_frame", None))
+                    ref_frame=getattr(self._dec, "ref_frame", None),
+                    mvs=getattr(self._dec, "mv", None))
             yield np.asarray(y), np.asarray(u), np.asarray(v)
 
     # --- control calls ---

@@ -39,6 +39,12 @@ def main(argv=None):
     p.add_argument("--golden-interval", type=int, default=0)
     p.add_argument("--cpu-used", type=int, default=0)
     p.add_argument("--psnr", action="store_true")
+    p.add_argument("--rate-hist", type=int, default=0, metavar="N",
+                   help="show N-bucket per-frame rate histogram "
+                        "(vpxenc.c show_rate_histogram)")
+    p.add_argument("--q-hist", type=int, default=0, metavar="N",
+                   help="show N-bucket quantizer histogram "
+                        "(vpxenc.c show_q_histogram)")
     args = p.parse_args(argv)
 
     from ..models.encoder import Encoder
@@ -77,24 +83,42 @@ def main(argv=None):
                        timebase_num=rd.fps[1], timebase_den=rd.fps[0])
     t0 = time.time()
     psnr_acc = []
+    q_hist = []
     n = 0
     from ..models.ratecontrol import encode_frame_with_rc
     if args.auto_alt_ref:
-        # ARNR altref pipeline: buffer the clip (lookahead role) and
-        # encode with periodic filtered-altref synthesis
-        from ..models.arnr import encode_sequence_altref
-        frames = list(rd)
+        # ARNR altref pipeline driven by the Lookahead ring
+        # (lookahead.c:63-208 role): frames stream through a lag-deep
+        # buffer; two-pass mode places ARFs from pass-1 GF groups
+        from ..models import twopass as _tp
+        frame_src = rd
         if args.limit:
-            frames = frames[:args.limit]
-        payloads = encode_sequence_altref(
-            enc, rc if isinstance(rc, RateController) else None, frames,
-            gf_interval=max(4, args.lag_in_frames // 2),
-            max_frames=args.arnr_maxframes, strength=args.arnr_strength)
+            import itertools
+            frame_src = itertools.islice(rd, args.limit)
+        frames = None
+        if args.psnr:            # PSNR needs the originals kept
+            frames = list(frame_src)
+            frame_src = frames
+        if isinstance(rc, _tp.TwoPassController):
+            from ..models.arnr import encode_twopass_altref
+            rc.auto_altref = True
+            payloads = encode_twopass_altref(
+                enc, rc, list(frame_src),
+                max_frames=args.arnr_maxframes,
+                strength=args.arnr_strength)
+        else:
+            from ..models.arnr import encode_stream_altref
+            payloads = encode_stream_altref(
+                enc, rc if isinstance(rc, RateController) else None,
+                frame_src, lag=max(4, args.lag_in_frames),
+                gf_interval=max(4, args.lag_in_frames // 2),
+                max_frames=args.arnr_maxframes,
+                strength=args.arnr_strength)
         n = 0
         for p in payloads:
             stream.frames.append((p, len(stream.frames)))
             n += p[0] & 0x10 and 1 or 0
-        if args.psnr:
+        if args.psnr and frames:
             from ..models.refdec import RefDecoder
             d = type("D", (RefDecoder,), {"use_native": True})()
             shown = 0
@@ -121,6 +145,7 @@ def main(argv=None):
         else:
             payload = enc.encode_frame(y, u, v, keyframe=keyframe)
         stream.frames.append((payload, i))
+        q_hist.append(int(enc.qindex))
         if args.psnr:
             rec = enc.dec.frame_to_show.visible()
             psnr_acc.append(frame_psnr((y, u, v), rec)["all"])
@@ -148,7 +173,30 @@ def main(argv=None):
     if args.psnr and psnr_acc:
         sys.stderr.write(f"Overall PSNR (avg-all): "
                          f"{sum(psnr_acc)/len(psnr_acc):.2f} dB\n")
+    if args.rate_hist and stream.frames:
+        sizes = [len(f[0]) * 8 * fps / 1000.0 for f in stream.frames]
+        _show_histogram("Rate (kbps)", sizes, args.rate_hist)
+    if args.q_hist and q_hist:
+        _show_histogram("Quantizer", [float(q) for q in q_hist],
+                        args.q_hist)
     return 0
+
+
+def _show_histogram(title, values, buckets):
+    """vpxenc.c show_histogram role: bucketed star-bar frame counts."""
+    lo, hi = min(values), max(values)
+    span = max(hi - lo, 1e-9)
+    counts = [0] * buckets
+    for v in values:
+        b = min(buckets - 1, int((v - lo) / span * buckets))
+        counts[b] += 1
+    peak = max(counts)
+    sys.stderr.write(f"\n{title} histogram ({len(values)} frames)\n")
+    for b, cnt in enumerate(counts):
+        b_lo = lo + span * b / buckets
+        b_hi = lo + span * (b + 1) / buckets
+        bar = "*" * max(1 if cnt else 0, int(40 * cnt / max(peak, 1)))
+        sys.stderr.write(f"  {b_lo:9.1f}-{b_hi:9.1f}: {cnt:4d} {bar}\n")
 
 
 if __name__ == "__main__":

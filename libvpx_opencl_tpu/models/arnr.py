@@ -132,6 +132,62 @@ def synthesize_altref(frames, alt_index, strength=6, max_frames=5,
         norm(acc_v, cnt_v, cv)
 
 
+def encode_stream_altref(enc, rc, frames_iter, lag=16, gf_interval=8,
+                         max_frames=5, strength=6):
+    """Streaming --auto-alt-ref encode: raw frames flow through a
+    Lookahead ring of depth `lag` (vp8_lookahead_push/peek/pop,
+    lookahead.c:63-208); at each GF boundary the ARNR window is built
+    from lookahead peeks, so memory is bounded by the lag instead of the
+    clip length (the onyx_if.c:4534/4624 source-buffering structure).
+    Returns the payload list (invisible ARFs included)."""
+    from .lookahead import Lookahead
+    from .ratecontrol import encode_frame_with_rc
+    la = Lookahead(max_lag=max(lag, max_frames + 2))
+    payloads = []
+    idx = 0
+    it = iter(frames_iter)
+    done = False
+    while True:
+        while not la.full() and not done:
+            try:
+                f = next(it)
+            except StopIteration:
+                done = True
+                break
+            la.push(f[0], f[1], f[2])
+        if la.depth() == 0:
+            break
+        kf = rc.want_keyframe() if rc is not None else (idx == 0)
+        if idx % gf_interval == 0 and not kf and la.depth() > 2:
+            center = min(gf_interval, la.depth() - 1)
+            window = [la.peek(j)[:3] for j in range(la.depth())]
+            ay, au, av = synthesize_altref(window, center,
+                                           strength=strength,
+                                           max_frames=max_frames)
+            saved_q = enc.qindex
+            if rc is not None:
+                target = rc.frame_target(False, golden=True) * 3
+                q = rc.regulate_q(target, False, golden=True)
+                enc.qindex = q
+            else:
+                q = max(4, saved_q * 3 // 5)
+                enc.qindex = q
+            p = enc.encode_frame(ay, au, av, keyframe=False, show=False,
+                                 refresh_alt=True, refresh_last=False)
+            enc.qindex = saved_q
+            if rc is not None:
+                rc.frame_done(q, len(p) * 8, False, golden=True)
+            payloads.append(p)
+        y, u, v, _pts = la.pop()
+        if rc is not None:
+            p = encode_frame_with_rc(enc, rc, y, u, v, keyframe=kf)
+        else:
+            p = enc.encode_frame(y, u, v, keyframe=kf)
+        payloads.append(p)
+        idx += 1
+    return payloads
+
+
 def encode_twopass_altref(enc, tp, frames, strength=6, max_frames=5):
     """Two-pass encode with pass-1-driven ARF placement: at each GF-group
     boundary found by define_gf_group (firstpass.c:1250 role) an ARNR-

@@ -1620,25 +1620,86 @@ class Encoder:
         self._count_tokens(counts)
         up = T.COEF_UPDATE_PROBS
         bitcost = _BITCOST
+
+        def _cand_sav(c0, c1, oldp, fp):
+            """prob_update_savings (bitstream.c:1221-1231): candidate
+            prob + net bit savings of updating (negative = keep)."""
+            if c0 + c1 == 0:
+                return oldp, -(1 << 30)
+            cand = min(255, max(1, int(255 * c0 // (c0 + c1))))
+            if cand == oldp:
+                return oldp, -(1 << 30)
+            old_b = c0 * bitcost[0][oldp] + c1 * bitcost[1][oldp]
+            new_b = c0 * bitcost[0][cand] + c1 * bitcost[1][cand]
+            upd_cost = 8 * 256 + (bitcost[1][fp] - bitcost[0][fp])
+            return cand, old_b - new_b - upd_cost
+
+        def _joint_sav(i, j, l, cand):
+            """Savings of forcing one candidate across the 3 prev-coef
+            contexts (independent_coef_context_savings inner loop)."""
+            s = 0
+            for kk in range(3):
+                kc0 = int(counts[i, j, kk, l, 0])
+                kc1 = int(counts[i, j, kk, l, 1])
+                op = int(self.coef_probs[i, j, kk, l])
+                fp = int(up[i, j, kk, l])
+                s += (kc0 * bitcost[0][op] + kc1 * bitcost[1][op]) - \
+                    (kc0 * bitcost[0][cand] + kc1 * bitcost[1][cand]) - \
+                    (8 * 256 + bitcost[1][fp] - bitcost[0][fp])
+            return s
+
+        # partition-independence savings search (bitstream.c:1232-1310,
+        # independent_coef_context_savings): with multiple token
+        # partitions, probabilities made EQUAL across the 3 prev-coef
+        # contexts let partitions decode rows without cross-row context
+        # cost; adopt the constraint when its total savings win
+        use_ind = False
+        if self.token_parts > 0:
+            reg_sav = ind_sav = 0
+            for i in range(4):
+                for j in range(8):
+                    for k in range(3):
+                        for l in range(11):
+                            _, s = _cand_sav(
+                                int(counts[i, j, k, l, 0]),
+                                int(counts[i, j, k, l, 1]),
+                                int(self.coef_probs[i, j, k, l]),
+                                int(up[i, j, k, l]))
+                            reg_sav += max(0, s)
+                    csum = counts[i, j].sum(axis=0)       # [11, 2]
+                    for l in range(11):
+                        c0, c1 = int(csum[l, 0]), int(csum[l, 1])
+                        if c0 + c1 == 0:
+                            continue
+                        cand = min(255, max(1, int(255 * c0 // (c0 + c1))))
+                        ind_sav += max(0, _joint_sav(i, j, l, cand))
+            use_ind = ind_sav >= reg_sav and ind_sav > 0
+        self.independent_partitions = bool(use_ind)
+
         for i in range(4):
             for j in range(8):
+                csum = counts[i, j].sum(axis=0)
                 for k in range(3):
                     for l in range(11):
-                        c0, c1 = counts[i, j, k, l]
                         oldp = int(self.coef_probs[i, j, k, l])
-                        upd = 0
-                        newp = oldp
-                        if c0 + c1 > 0:
-                            cand = min(255, max(1,
-                                                int(255 * c0 // (c0 + c1))))
-                            old_b = c0 * bitcost[0][oldp] +                                 c1 * bitcost[1][oldp]
-                            new_b = c0 * bitcost[0][cand] +                                 c1 * bitcost[1][cand] + 8 * 256
-                            fp = int(up[i, j, k, l])
-                            flag_diff = bitcost[1][fp] - bitcost[0][fp]
-                            if new_b + flag_diff < old_b and cand != oldp:
-                                upd = 1
-                                newp = cand
-                        first.write(upd, int(up[i, j, k, l]))
+                        fp = int(up[i, j, k, l])
+                        if use_ind:
+                            c0, c1 = int(csum[l, 0]), int(csum[l, 1])
+                            upd = 0
+                            newp = oldp
+                            if c0 + c1 > 0:
+                                cand = min(255, max(
+                                    1, int(255 * c0 // (c0 + c1))))
+                                if cand != oldp and \
+                                        _joint_sav(i, j, l, cand) > 0:
+                                    upd, newp = 1, cand
+                        else:
+                            cand, s = _cand_sav(
+                                int(counts[i, j, k, l, 0]),
+                                int(counts[i, j, k, l, 1]), oldp, fp)
+                            upd = 1 if s > 0 else 0
+                            newp = cand if upd else oldp
+                        first.write(upd, fp)
                         if upd:
                             first.write_literal(newp, 8)
                             self.coef_probs[i, j, k, l] = newp

@@ -231,13 +231,39 @@ def _tint_mbs(u, v, idx_grid, palette, strength=96):
             np.clip(vv, 0, 255).astype(np.uint8))
 
 
-def debug_overlay(y, u, v, flags, mode=None, ref_frame=None):
-    """VP8D_DEBUG_CLR_BLK_MODES / VP8D_DEBUG_CLR_FRM_REF_BLKS
-    (vp8.h:44-47): colorize MBs by prediction mode / reference frame."""
+def mv_overlay(y, mvs, intensity=255):
+    """VP8D_DEBUG_DRAW_MV (vp8.h:44, postproc.c blit_line role): draw
+    each MB's motion vector as a bright line from the MB center toward
+    center + mv (eighth-pel), sampled at 16 points and scattered into the
+    luma plane — the whole field is drawn with one fancy-index store."""
+    yy = np.asarray(y).copy()
+    h, w = yy.shape
+    m = np.asarray(mvs)
+    if m.ndim == 3 and m.shape[0] == h // 16 + (1 if h % 16 else 0) + 1:
+        m = m[1:, 1:]                 # padded grid -> [R, C, 2]
+    R, C = m.shape[:2]
+    cy = (np.arange(R) * 16 + 8)[:, None]
+    cx = (np.arange(C) * 16 + 8)[None, :]
+    ey = cy + (m[:, :, 0] >> 3)
+    ex = cx + (m[:, :, 1] >> 3)
+    t = np.linspace(0.0, 1.0, 16)[:, None, None]
+    py = np.round(cy[None] * (1 - t) + ey[None] * t).astype(np.int64)
+    px = np.round(cx[None] * (1 - t) + ex[None] * t).astype(np.int64)
+    keep = (py >= 0) & (py < h) & (px >= 0) & (px < w)
+    yy[py[keep], px[keep]] = intensity
+    return yy
+
+
+def debug_overlay(y, u, v, flags, mode=None, ref_frame=None, mvs=None):
+    """VP8D_DEBUG_CLR_BLK_MODES / VP8D_DEBUG_CLR_FRM_REF_BLKS /
+    VP8D_DEBUG_DRAW_MV (vp8.h:44-47): colorize MBs by prediction mode /
+    reference frame, draw motion vectors."""
     if "debug_clr_blk_modes" in flags and mode is not None:
         u, v = _tint_mbs(u, v, np.asarray(mode)[1:, 1:], _MODE_TINT)
     if "debug_clr_frm_ref_blks" in flags and ref_frame is not None:
         u, v = _tint_mbs(u, v, np.asarray(ref_frame)[1:, 1:], _REF_TINT)
+    if "debug_draw_mv" in flags and mvs is not None:
+        y = mv_overlay(y, mvs)
     return y, u, v
 
 

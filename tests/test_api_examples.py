@@ -187,6 +187,16 @@ def test_mfqe_and_debug_overlays():
     assert np.array_equal(y2.shape, (144, 176))
     assert not np.array_equal(u2, base[1][1])
 
+    # VP8D_DEBUG_DRAW_MV: motion vectors drawn into the luma plane
+    mv = CodecDecoder(flags=(USE_POSTPROC,), use_tpu=False)
+    mv.set_postproc(PostProcCfg(flags={"debug_draw_mv"}))
+    mv.decode(frames[0][0])
+    next(iter(mv.get_frame()))
+    mv.decode(frames[1][0])
+    ym, um, vm = next(iter(mv.get_frame()))
+    assert not np.array_equal(ym, base[1][0])   # luma now carries arrows
+    assert np.array_equal(um, base[1][1])       # chroma untouched
+
 
 def test_output_partition_packets(tmp_path):
     """VPX_CODEC_USE_OUTPUT_PARTITION: per-partition fragment packets
