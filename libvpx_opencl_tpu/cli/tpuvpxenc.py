@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--golden-interval", type=int, default=0)
     p.add_argument("--cpu-used", type=int, default=0)
     p.add_argument("--psnr", action="store_true")
+    p.add_argument("--tune", choices=["psnr", "ssim"], default="psnr",
+                   help="ssim = activity masking "
+                        "(vp8_activity_masking, encodeframe.c:81-357)")
     p.add_argument("--rate-hist", type=int, default=0, metavar="N",
                    help="show N-bucket per-frame rate histogram "
                         "(vpxenc.c show_rate_histogram)")
@@ -63,6 +66,7 @@ def main(argv=None):
                   token_parts=args.token_parts,
                   golden_interval=args.golden_interval,
                   cpu_used=args.cpu_used)
+    enc.tune_ssim = args.tune == "ssim"
     mb_count = ((rd.h + 15) // 16) * ((rd.w + 15) // 16)
     rc = None
     if args.passes == 2:

@@ -141,13 +141,17 @@ def fast_quant(coeffs, dq, first=0):
 ZBIN_BOOST = [0, 0, 8, 10, 12, 14, 16, 20, 24, 28, 32, 36, 40, 44, 44, 44]
 
 
-def regular_quant(coeffs, dq, qidx, first=0):
+def regular_quant(coeffs, dq, qidx, first=0, act_adj=0):
     """vp8_regular_quantize_b_c (quantize.c:106-156): zbin dead zone with
     zero-run boost, improved-quant reciprocal (quantize.c:411-424).
     coeffs raster [16]; dq = (dc, ac); qidx = frame/segment Q for the
-    zbin factor (84 below Q48 else 80). Returns (levels, eob)."""
+    zbin factor (84 below Q48 else 80); act_adj = the activity-masking
+    zbin adjustment (x->act_zbin_adj, encodeframe.c:340-357), scaled into
+    the dead zone like vp8_update_zbin_extra. Returns (levels, eob)."""
     zf = 84 if qidx < 48 else 80
-    zbin = [((zf * dq[0]) + 64) >> 7, ((zf * dq[1]) + 64) >> 7]
+    zextra = (dq[1] * act_adj) >> 7
+    zbin = [(((zf * dq[0]) + 64) >> 7) + zextra,
+            (((zf * dq[1]) + 64) >> 7) + zextra]
     rnd = [(48 * dq[0]) >> 7, (48 * dq[1]) >> 7]
     qsh = []
     for d in dq:
@@ -231,6 +235,9 @@ class Encoder:
         #: optimization (rdopt.c / encodemb.c roles); False = the fast
         #: SAD path (pickinter.c role, used by the TPU encoder twin)
         self.rd = rd
+        #: --tune=ssim activity masking (encodeframe.c:81-357):
+        #: per-MB source-activity zbin adjustment
+        self.tune_ssim = False
         # speed-feature ladder (vp8_set_speed_features, onyx_if.c:670)
         if cpu_used is None:
             self.sf = speed_features(0 if rd else 9)
@@ -250,6 +257,27 @@ class Encoder:
         self.prob_last = 255
         self.prob_gf = 128
         self.prob_skip_false = 192
+
+    def _build_activity_map(self, src):
+        """Activity masking (encodeframe.c:81-357): per-MB source
+        variance (mb_activity_measure, VP8_ACTIVITY_AVG_MIN floor),
+        frame average, and the adjust_act_zbin dead-zone deltas."""
+        b = BORDER
+        R, C = self.R, self.C
+        y = src.y[b:b + R * 16, b:b + C * 16].astype(np.int64)
+        blocks = y.reshape(R, 16, C, 16).transpose(0, 2, 1, 3) \
+            .reshape(R, C, 256)
+        s = blocks.sum(-1)
+        sse = (blocks * blocks).sum(-1)
+        act = np.maximum(sse - (s * s) // 256, 64)
+        avg = max(64, int(act.sum() // act.size))
+        a = act + 4 * avg
+        bb = 4 * act + avg
+        adj = np.where(act > avg, (bb + a // 2) // a - 1,
+                       1 - (a + bb // 2) // bb).astype(np.int64)
+        self._act_adj_map = adj
+        self._act_map = act
+        self._act_avg = avg
 
     def _reset_key_frame_state(self):
         """vp8_setup_key_frame (onyx_if.c): keyframes reset the adaptive
@@ -398,6 +426,8 @@ class Encoder:
                 p[bb2 + ch - 1:bb2 + ch, bb2:bb2 + src.aw // 2]
         src.extend_borders()
         self.src = src
+        if self.tune_ssim:
+            self._build_activity_map(src)
         # unfiltered in-loop reconstruction buffer
         self.rec = refdec.FrameBuffer(self.w, self.h)
         self.rec.setup_intra_recon()
@@ -428,6 +458,8 @@ class Encoder:
         # and the entropy-context mirror tracked in raster order
         self.rdmult, self.rddiv, self.errorperbit = rdopt.rd_consts(
             self.qindex)
+        self._rdmult_base = self.rdmult
+        self._epb_base = self.errorperbit
         self._tc = _default_token_costs()
         self._actx = np.zeros((C, 9), np.int32)
 
@@ -488,6 +520,17 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def _encode_mb(self, r, c, keyframe, refs):
+        self._act_adj_now = int(self._act_adj_map[r, c]) \
+            if self.tune_ssim else 0
+        if self.tune_ssim:
+            # vp8_activity_masking (encodeframe.c:340-357): per-MB RD
+            # multiplier scaled by activity vs the frame average
+            act = int(self._act_map[r, c])
+            avg = self._act_avg
+            a_ = act + 2 * avg
+            b_ = 2 * act + avg
+            self.rdmult = max(1, (self._rdmult_base * b_ + a_ // 2) // a_)
+            self.errorperbit = max(1, self._epb_base * b_ // a_)
         R, C = self.R, self.C
         b, b2 = BORDER, BORDER // 2
         y0, x0 = b + r * 16, b + c * 16
@@ -610,9 +653,12 @@ class Encoder:
         coeffs[16] = walsh4x4(coeffs[:16, 0].copy())
         q = np.zeros((17, 16), np.int32)
         eobs = np.zeros(17, np.int32)
-        q[16], eobs[16] = regular_quant(coeffs[16], dq_y2, qidx)
+        adj = getattr(self, "_act_adj_now", 0)
+        q[16], eobs[16] = regular_quant(coeffs[16], dq_y2, qidx,
+                                        act_adj=adj)
         for i in range(16):
-            q[i], e = regular_quant(coeffs[i], dq_y1, qidx, first=1)
+            q[i], e = regular_quant(coeffs[i], dq_y1, qidx, first=1,
+                                    act_adj=adj)
             eobs[i] = max(e, 1)
         # transform-domain error, DC excluded for Y (vp8_mbblock_error
         # dc=0) + Y2 error (vp8_block_error); caller shifts >>2
@@ -632,8 +678,10 @@ class Encoder:
                 coeffs[pi * 4 + j] = fdct4x4(residc[by:by + 4, bx:bx + 4])
         q = np.zeros((8, 16), np.int32)
         eobs = np.zeros(8, np.int32)
+        adj = getattr(self, "_act_adj_now", 0)
         for j in range(8):
-            q[j], eobs[j] = regular_quant(coeffs[j], dq_uv, qidx)
+            q[j], eobs[j] = regular_quant(coeffs[j], dq_uv, qidx,
+                                          act_adj=adj)
         dqv = np.array([dq_uv[0]] + [dq_uv[1]] * 15, np.int64)
         err = int(((coeffs.astype(np.int64) - q * dqv[None]) ** 2).sum())
         return coeffs, q, eobs, err
@@ -742,7 +790,9 @@ class Encoder:
                 RefDecoder._intra4x4_predict(ws, by, bx, m)
                 pred = ws[by:by + 4, bx:bx + 4].astype(np.int32)
                 coefs = fdct4x4(sb - pred)
-                ql, eob = regular_quant(coefs, dq_y1, qidx)
+                ql, eob = regular_quant(
+                    coefs, dq_y1, qidx,
+                    act_adj=getattr(self, "_act_adj_now", 0))
                 rate_, _nz = rdopt.cost_block(ql, eob, 0, ctx, self._tc[3])
                 rate_ += bcost[m]
                 err = int(((coefs.astype(np.int64) - ql * dqv) ** 2).sum())
@@ -779,6 +829,17 @@ class Encoder:
         """Token-cost RD mode decision over intra 16x16 / B_PRED / inter
         NEW/NEAREST/NEAR/ZERO per reference frame (vp8_rd_pick_inter_mode
         rdopt.c:1714 / vp8_rd_pick_intra_mode rdopt.c:2374 roles)."""
+        self._act_adj_now = int(self._act_adj_map[r, c]) \
+            if self.tune_ssim else 0
+        if self.tune_ssim:
+            # vp8_activity_masking (encodeframe.c:340-357): per-MB RD
+            # multiplier scaled by activity vs the frame average
+            act = int(self._act_map[r, c])
+            avg = self._act_avg
+            a_ = act + 2 * avg
+            b_ = 2 * act + avg
+            self.rdmult = max(1, (self._rdmult_base * b_ + a_ // 2) // a_)
+            self.errorperbit = max(1, self._epb_base * b_ // a_)
         b, b2 = BORDER, BORDER // 2
         y0, x0 = b + r * 16, b + c * 16
         cy0, cx0 = b2 + r * 8, b2 + c * 8
@@ -1005,7 +1066,9 @@ class Encoder:
         for i in range(16):
             by, bx = (i >> 2) * 4, (i & 3) * 4
             coeffs[i] = fdct4x4(resid[by:by + 4, bx:bx + 4])
-            q[i], eobs[i] = regular_quant(coeffs[i], dq_y1, qidx)
+            q[i], eobs[i] = regular_quant(
+                coeffs[i], dq_y1, qidx,
+                act_adj=getattr(self, "_act_adj_now", 0))
             err += int(((coeffs[i].astype(np.int64) - q[i] * dqv) ** 2)
                        .sum())
         return coeffs, q, eobs, err

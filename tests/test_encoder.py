@@ -143,3 +143,39 @@ def test_speed_ladder_distinct_levels():
     assert sizes[0] <= sizes[4] * 1.02, (sizes, psnrs)
     assert sizes[4] <= sizes[9] * 1.02, (sizes, psnrs)
     assert psnrs[0] >= psnrs[9] - 0.3, (sizes, psnrs)
+
+
+def test_activity_masking_rate_ssim():
+    """--tune=ssim activity masking (encodeframe.c:81-357): bigger dead
+    zones on high-activity MBs shed bits where the eye can't see them;
+    at fixed Q the masked encode must be smaller with (near-)unchanged
+    SSIM."""
+    from libvpx_opencl_tpu.ops.metrics import ssim_plane
+    from libvpx_opencl_tpu.models.refdec import RefDecoder
+    w, h, n = 176, 144, 4
+    rng = np.random.RandomState(5)
+    flat = np.tile(np.linspace(60, 200, w).astype(np.uint8), (h // 2, 1))
+    frames = []
+    for t in range(n):
+        tex = rng.randint(0, 255, (h - h // 2, w)).astype(np.uint8)
+        y = np.vstack([flat, tex])
+        u = np.full((h // 2, w // 2), 110, np.uint8)
+        v = np.full((h // 2, w // 2), 124, np.uint8)
+        frames.append((y, u, v))
+
+    def run(tune):
+        enc = Encoder(w, h, qindex=40, rd=True)
+        enc.tune_ssim = tune
+        dec = type("D", (RefDecoder,), {"use_native": True})()
+        size, ss = 0, []
+        for y, u, v in frames:
+            p = enc.encode_frame(y, u, v)
+            size += len(p)
+            show, (dy, du, dv) = dec.decode_frame(p)
+            ss.append(ssim_plane(y, dy))
+        return size, float(np.mean(ss))
+
+    size0, ssim0 = run(False)
+    size1, ssim1 = run(True)
+    assert size1 < size0, (size0, size1)
+    assert ssim1 >= ssim0 - 0.004, (ssim0, ssim1, size0, size1)
