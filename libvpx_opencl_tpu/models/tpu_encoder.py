@@ -706,7 +706,11 @@ class TPUEncoder(Encoder):
         hev = np.where(fl >= 15, 1, hev)
         hev = np.where(fl >= 20, (1 if keyframe else 2), hev)
         hev = np.where(fl >= 40, (2 if keyframe else 3), hev)
-        noskip = ~(self.skip.reshape(N) != 0)
+        # skipped B_PRED/SPLITMV MBs still get inner edges filtered
+        # (loopfilter.c: the dc_diff test exempts modes without Y2) —
+        # mirror the decoder's noskip = ~(has_y2 & skip)
+        has_y2 = (self.mode[1:, 1:].reshape(N) != 4)
+        noskip = ~(has_y2 & (self.skip.reshape(N) != 0))
         return (fl.astype(np.int32),
                 (2 * (fl + 2) + inner).astype(np.int32),
                 (2 * fl + inner).astype(np.int32),
