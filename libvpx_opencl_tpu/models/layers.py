@@ -28,9 +28,17 @@ class TemporalLayerEncoder:
             else list(pattern)
         self.n_layers = max(self.pattern) + 1
         mb = enc.R * enc.C
-        # cumulative per-layer targets (layer i includes layers <= i)
-        self.rc = [RateController(layer_bitrates_kbps[i], fps, mb)
-                   for i in range(self.n_layers)]
+        # per-layer contexts (save/restore_layer_context onyx_if.c:226-304
+        # made implicit by one RateController per layer): layer i's
+        # target is the CUMULATIVE bitrate of layers <= i, and its frame
+        # rate is the layer's effective rate within the pattern
+        # (cpi->layer_context[i].frame_rate, onyx_if.c:1336)
+        self.rc = []
+        for i in range(self.n_layers):
+            frames_in = sum(1 for p in self.pattern if p <= i)
+            layer_fps = fps * frames_in / len(self.pattern)
+            self.rc.append(RateController(layer_bitrates_kbps[i],
+                                          max(layer_fps, 1e-3), mb))
         self.idx = 0
 
     def encode_frame(self, y, u, v):

@@ -658,25 +658,30 @@ class TPUEncoder(Encoder):
             skip_bp = self.eobs[:, :, :24].sum(axis=2) == 0
             self.skip = np.where(is_bp, skip_bp, skip16).astype(np.int32)
 
+        # LF/pack overlap (the loopfilter_thread role, ethreading.c:29-57
+        # / onyx_if.c:3071): dispatch the device loop-filter program
+        # BEFORE packing — JAX dispatch is asynchronous, so the filter
+        # runs on the TPU while the host packs the bitstream; a recode
+        # discards the in-flight result exactly like the reference's
+        # thread joining on a rejected frame.
+        j = jnp.asarray
+        flevel, mblim_a, blim_a, lim_a, hev_a, noskip_a = \
+            self._lf_params(keyframe)
+        lf_out = _lf_device(R, C, self.filter_level > 0, ry, ru, rv,
+                            j(flevel), j(mblim_a), j(blim_a), j(lim_a),
+                            j(hev_a), j(noskip_a))
         payload = self._pack(keyframe)
-        self._pending = (keyframe, ry, ru, rv, mv8)
+        self._pending = (keyframe, lf_out, mv8)
         if commit:
             self.commit_frame(payload)
         return payload
 
     def commit_frame(self, payload):
-        """Apply the device loop filter + reference-ring update for the
-        accepted frame (split out for the RC recode loop;
-        update_reference_frames onyx_if.c:2980 semantics)."""
-        keyframe, ry, ru, rv, mv8 = self._pending
+        """Reference-ring update for the accepted frame (split out for
+        the RC recode loop; update_reference_frames onyx_if.c:2980
+        semantics). The loop filter was already dispatched before pack."""
+        keyframe, (cy, cu, cv), mv8 = self._pending
         self._pending = None
-        j = jnp.asarray
-        R, C = self.R, self.C
-        flevel, mblim_a, blim_a, lim_a, hev_a, noskip_a = \
-            self._lf_params(keyframe)
-        cy, cu, cv = _lf_device(R, C, self.filter_level > 0, ry, ru, rv,
-                                j(flevel), j(mblim_a), j(blim_a), j(lim_a),
-                                j(hev_a), j(noskip_a))
         new = DeviceFrame(cy, cu, cv, self.w, self.h)
         if self.refresh_golden:
             self.ref_gold = new
