@@ -120,6 +120,8 @@ def main(argv=None):
                 strength=args.arnr_strength)
         n = 0
         for p in payloads:
+            if not p:            # RC dropped the frame: nothing to write
+                continue
             stream.frames.append((p, len(stream.frames)))
             n += p[0] & 0x10 and 1 or 0
         if args.psnr and frames:
@@ -148,6 +150,8 @@ def main(argv=None):
             rc.update(enc.qindex, len(payload) * 8, keyframe)
         else:
             payload = enc.encode_frame(y, u, v, keyframe=keyframe)
+        if not payload:          # RC dropped the frame: nothing to write
+            continue
         stream.frames.append((payload, i))
         q_hist.append(int(enc.qindex))
         if args.psnr:

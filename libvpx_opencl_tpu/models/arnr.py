@@ -183,7 +183,8 @@ def encode_stream_altref(enc, rc, frames_iter, lag=16, gf_interval=8,
             p = encode_frame_with_rc(enc, rc, y, u, v, keyframe=kf)
         else:
             p = enc.encode_frame(y, u, v, keyframe=kf)
-        payloads.append(p)
+        if p:                     # b"" = RC dropped the frame, no packet
+            payloads.append(p)
         idx += 1
     return payloads
 
@@ -265,5 +266,6 @@ def encode_sequence_altref(enc, rc, frames, gf_interval=8, max_frames=5,
             p = encode_frame_with_rc(enc, rc, y, u, v, keyframe=kf)
         else:
             p = enc.encode_frame(y, u, v, keyframe=kf)
-        payloads.append(p)
+        if p:                     # b"" = RC dropped the frame, no packet
+            payloads.append(p)
     return payloads

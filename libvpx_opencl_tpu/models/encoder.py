@@ -1697,6 +1697,13 @@ class Encoder:
             upd_cost = 8 * 256 + (bitcost[1][fp] - bitcost[0][fp])
             return cand, old_b - new_b - upd_cost
 
+        # snapshot of the pre-update probs: the joint (independent-
+        # partitions) decision must be made from the probs as they stood
+        # BEFORE any context wrote its update, so all 3 prev-coef contexts
+        # reach the same decision (bitstream.c precomputes
+        # prev_coef_savings once per (i,j) before any write)
+        probs0 = self.coef_probs.copy()
+
         def _joint_sav(i, j, l, cand):
             """Savings of forcing one candidate across the 3 prev-coef
             contexts (independent_coef_context_savings inner loop)."""
@@ -1704,7 +1711,7 @@ class Encoder:
             for kk in range(3):
                 kc0 = int(counts[i, j, kk, l, 0])
                 kc1 = int(counts[i, j, kk, l, 1])
-                op = int(self.coef_probs[i, j, kk, l])
+                op = int(probs0[i, j, kk, l])
                 fp = int(up[i, j, kk, l])
                 s += (kc0 * bitcost[0][op] + kc1 * bitcost[1][op]) - \
                     (kc0 * bitcost[0][cand] + kc1 * bitcost[1][cand]) - \
@@ -1742,20 +1749,24 @@ class Encoder:
         for i in range(4):
             for j in range(8):
                 csum = counts[i, j].sum(axis=0)
+                # joint decision per band position, once, from the
+                # pre-update snapshot — applied to all 3 contexts below
+                joint = {}
+                if use_ind:
+                    for l in range(11):
+                        c0, c1 = int(csum[l, 0]), int(csum[l, 1])
+                        if c0 + c1 > 0:
+                            cand = min(255, max(
+                                1, int(255 * c0 // (c0 + c1))))
+                            if _joint_sav(i, j, l, cand) > 0:
+                                joint[l] = cand
                 for k in range(3):
                     for l in range(11):
                         oldp = int(self.coef_probs[i, j, k, l])
                         fp = int(up[i, j, k, l])
                         if use_ind:
-                            c0, c1 = int(csum[l, 0]), int(csum[l, 1])
-                            upd = 0
-                            newp = oldp
-                            if c0 + c1 > 0:
-                                cand = min(255, max(
-                                    1, int(255 * c0 // (c0 + c1))))
-                                if cand != oldp and \
-                                        _joint_sav(i, j, l, cand) > 0:
-                                    upd, newp = 1, cand
+                            newp = joint.get(l, oldp)
+                            upd = 1 if newp != oldp else 0
                         else:
                             cand, s = _cand_sav(
                                 int(counts[i, j, k, l, 0]),

@@ -259,9 +259,12 @@ def encode_recon_blocks(R, C, sch, src_y_b, src_u_b, src_v_b,
 
     B_PRED macroblocks (mode == B_PRED_M, intra): when tcb3/bmode_cost
     are given, a per-MB 16-step sub-block recursion picks the best of 10
-    bmodes by token-cost RD from TRUE reconstructed neighbors
-    (rd_pick_intra4x4mby_modes, rdopt.c), gated per diagonal like the
-    decoder's B_PRED lanes.
+    bmodes by a pickinter-style FAST pick — prediction SSE + bmode cost
+    from TRUE reconstructed neighbors (pick_intra4x4block role); tcb3 is
+    only the enable gate, so the chosen bmodes may differ from the
+    token-cost RD pick of the decision stage (_bpred_rd, rdopt.c role).
+    The bitstream stays self-consistent because THESE bmodes are the
+    ones packed.
 
     src_*_b: [N,16,16]/[N,8,8] int32 source blocks
     inter_*: [N,...] int32 inter predictions (garbage where intra)
