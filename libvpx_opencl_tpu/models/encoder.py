@@ -1679,8 +1679,20 @@ class Encoder:
         # count token branch usage with a dry packing pass, then send updates
         # wherever the bit savings beat the signaling cost
         self.coef_probs = np.array(T.DEFAULT_COEF_PROBS, np.int32)
-        counts = np.zeros((4, 8, 3, 11, 2), np.int64)
-        self._count_tokens(counts)
+        # native (C++) token walk when available; Python golden fallback
+        from ..utils import native as _native
+        _lib = _native.get_lib()
+        _q16 = _e32 = _m32 = _s32 = None
+        if _lib is not None and getattr(_lib, "vp8e_count_tokens", None):
+            _q16 = np.ascontiguousarray(self.qcoeff.astype(np.int16))
+            _e32 = np.ascontiguousarray(self.eobs.astype(np.int32))
+            _m32 = np.ascontiguousarray(self.mode[1:, 1:].astype(np.int32))
+            _s32 = np.ascontiguousarray(self.skip.astype(np.int32))
+            counts = _native.count_tokens_native(
+                _lib, _q16, _e32, _m32, _s32, self.mb_no_coeff_skip)
+        else:
+            counts = np.zeros((4, 8, 3, 11, 2), np.int64)
+            self._count_tokens(counts)
         up = T.COEF_UPDATE_PROBS
         bitcost = _BITCOST
 
@@ -1802,37 +1814,50 @@ class Encoder:
             # mode/MV probability updates: dry-pack the mode section with
             # the defaults to collect event counts, decide updates, then
             # pack for real with the updated probabilities
-            self._mvstats = [{"sign": [0, 0], "short_flag": [0, 0],
-                              "short": [0] * 8,
-                              "bits": [[0, 0] for _ in range(10)]}
-                             for _ in range(2)]
-            self._ymode_ct = np.zeros(5, np.int64)
-            self._uv_ct = np.zeros(4, np.int64)
-            self._mode_counting = True
-            dry = BoolEncoder()
-            for r in range(R):
-                for c in range(C):
-                    self._pack_mb_modes(dry, r, c, keyframe)
-            self._mode_counting = False
+            if _lib is not None and getattr(_lib, "vp8e_count_modes", None):
+                self._ymode_ct, self._uv_ct, self._mvstats = \
+                    _native.count_modes_native(_lib, self)
+            else:
+                self._mvstats = [{"sign": [0, 0], "short_flag": [0, 0],
+                                  "short": [0] * 8,
+                                  "bits": [[0, 0] for _ in range(10)]}
+                                 for _ in range(2)]
+                self._ymode_ct = np.zeros(5, np.int64)
+                self._uv_ct = np.zeros(4, np.int64)
+                self._mode_counting = True
+                dry = BoolEncoder()
+                for r in range(R):
+                    for c in range(C):
+                        self._pack_mb_modes(dry, r, c, keyframe)
+                self._mode_counting = False
             self._update_mode_probs(first, T.YMODE_TREE, self.ymode_prob,
                                     self._ymode_ct)
             self._update_mode_probs(first, T.UV_MODE_TREE, self.uv_mode_prob,
                                     self._uv_ct)
             self._write_mv_probs(first)
-        for r in range(R):
-            for c in range(C):
-                self._pack_mb_modes(first, r, c, keyframe)
+        if not (_lib is not None and getattr(_lib, "vp8e_pack_modes", None)
+                and _native.pack_modes_native(_lib, self, first, keyframe)):
+            for r in range(R):
+                for c in range(C):
+                    self._pack_mb_modes(first, r, c, keyframe)
         part0 = first.stop()
 
         nparts = 1 << self.token_parts
-        encs = [BoolEncoder() for _ in range(nparts)]
-        above_ctx = np.zeros((C, 9), np.int32)
-        for r in range(R):
-            left_ctx = np.zeros(9, np.int32)
-            tokens = encs[r % nparts]
-            for c in range(C):
-                self._pack_mb_tokens(tokens, r, c, above_ctx[c], left_ctx)
-        parts = [e.stop() for e in encs]
+        parts = None
+        if _q16 is not None:
+            parts = _native.pack_tokens_native(
+                _lib, _q16, _e32, _m32, _s32, self.mb_no_coeff_skip,
+                self.coef_probs, nparts)
+        if parts is None:
+            encs = [BoolEncoder() for _ in range(nparts)]
+            above_ctx = np.zeros((C, 9), np.int32)
+            for r in range(R):
+                left_ctx = np.zeros(9, np.int32)
+                tokens = encs[r % nparts]
+                for c in range(C):
+                    self._pack_mb_tokens(tokens, r, c, above_ctx[c],
+                                         left_ctx)
+            parts = [e.stop() for e in encs]
         sizes = b""
         for p in parts[:-1]:
             sizes += bytes([len(p) & 0xFF, (len(p) >> 8) & 0xFF,

@@ -150,8 +150,9 @@ def _bpred_rd(R, C, src_y_pl, yb, dq1, qidx, tcb3, bmode_cost,
     return b_rate, b_dist
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _decide_rd_inter(R, C, n_refs, me_step, refs_y, refs_u, refs_v,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _decide_rd_inter(R, C, n_refs, me_step, use_bpred,
+                     refs_y, refs_u, refs_v,
                      src_y_pl,
                      src_u_pl, src_v_pl, yb, ub, vb, centers, taps,
                      lo_r, hi_r, lo_c, hi_c, mvcost, prev8, sadpb,
@@ -250,10 +251,6 @@ def _decide_rd_inter(R, C, n_refs, me_step, refs_y, refs_u, refs_v,
         return ((jnp.take(mvcost[0], dr) + jnp.take(mvcost[1], dc_))
                 * 96) >> 7
 
-    # B_PRED candidate (fixed inter-frame bmode probs)
-    br, bd = _bpred_rd(R, C, src_y_pl, yb, dq1, qidx, tcb3, bmode_cost,
-                       rdmult, rddiv)
-
     mode_costs = [czero, cnearest, cnear, cnew]
     rate_rows = [ci0 + ymode_cost[m] + ry[m] + ruv_i for m in range(4)]
     dist_rows = [dy[m] / 4.0 + duv_i / 4.0 for m in range(4)]
@@ -264,13 +261,19 @@ def _decide_rd_inter(R, C, n_refs, me_step, refs_y, refs_u, refs_v,
             rate_rows.append(ci1[k] + mode_costs[j] + extra +
                              ry[4 + i] + ruv_in[i])
             dist_rows.append(dy[4 + i] / 4.0 + duv_in[i] / 4.0)
-    rate_rows.append(ci0 + ymode_cost[4] + br + ruv_i)
-    dist_rows.append(bd / 4.0 + duv_i / 4.0)
+    if use_bpred:
+        # B_PRED candidate (fixed inter-frame bmode probs); pruned from
+        # the traced graph entirely on the fast speed ladder (sf.bpred)
+        br, bd = _bpred_rd(R, C, src_y_pl, yb, dq1, qidx, tcb3, bmode_cost,
+                           rdmult, rddiv)
+        rate_rows.append(ci0 + ymode_cost[4] + br + ruv_i)
+        dist_rows.append(bd / 4.0 + duv_i / 4.0)
     rate = jnp.stack(rate_rows, 0)
     dist = jnp.stack(dist_rows, 0)
     rdall = RD.rdc(rate, dist, rdmult, rddiv)
     best = jnp.argmin(rdall, axis=0)
-    is_bpred = best == (4 + Kin)
+    is_bpred = (best == (4 + Kin)) if use_bpred \
+        else jnp.zeros_like(best, dtype=bool)
     ymode = jnp.where(is_bpred, 4,
                       jnp.argmin(rdall[:4], axis=0)).astype(jnp.int32)
     inter = (best >= 4) & ~is_bpred
@@ -544,11 +547,12 @@ class TPUEncoder(Encoder):
             # reference set (rdopt.c:1714 candidate refs; identity dedup
             # like the golden encoder's refs list)
             ref_frames = [(self.ref_last, LAST_FRAME)]
-            if self.ref_gold is not self.ref_last:
-                ref_frames.append((self.ref_gold, GOLDEN_FRAME))
-            if (self.ref_alt is not self.ref_last and
-                    self.ref_alt is not self.ref_gold):
-                ref_frames.append((self.ref_alt, ALTREF_FRAME))
+            if self.sf.multi_ref:
+                if self.ref_gold is not self.ref_last:
+                    ref_frames.append((self.ref_gold, GOLDEN_FRAME))
+                if (self.ref_alt is not self.ref_last and
+                        self.ref_alt is not self.ref_gold):
+                    ref_frames.append((self.ref_alt, ALTREF_FRAME))
             n_refs = len(ref_frames)
             ref_ids = [rid for _, rid in ref_frames]
             refs_y = jnp.stack([f.y for f, _ in ref_frames])
@@ -585,7 +589,8 @@ class TPUEncoder(Encoder):
             c1tab = j(rdopt._C1.astype(np.int32))
             me_step = 1 if self.sf.exhaustive_me else 2
             mv8_d, refk_d, ymode_d, uvb_d = _decide_rd_inter(
-                R, C, n_refs, me_step, refs_y, refs_u, refs_v,
+                R, C, n_refs, me_step, bool(self.sf.bpred),
+                refs_y, refs_u, refs_v,
                 src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
                 j(centers.astype(np.int32)), taps, lo_r, hi_r, lo_c, hi_c,
                 mvcost, pred8, sadpb, tcb0, tcb1, tcb2, tcb3,
@@ -606,11 +611,19 @@ class TPUEncoder(Encoder):
             enc_refs_v = self.ref_last.v[None]
         else:
             enc_refs_y, enc_refs_u, enc_refs_v = refs_y, refs_u, refs_v
+        # static B_PRED gating: the decision output is already host-side,
+        # so frames with no B_PRED MB (all keyframes — _decide_rd_key has
+        # no B_PRED candidate — and most inter frames) compile the much
+        # smaller no-B_PRED encode wavefront variant (tcb3=None prunes the
+        # 16-step sub-block recursion from the traced graph entirely)
+        has_bpred = bool((ymode == 4).any())
         qcoeff, eobs, uv_mode_d, ry, ru, rv, bmodes_d = _encode_device(
             R, C, enc_refs_y, enc_refs_u, enc_refs_v, j(refk), yb, ub, vb,
             mode_dev, j(uvmode),
             j(intra), j(mv8.astype(np.int32)), taps, dq1, dq2, dqu, qidx,
-            tcb0, tcb1, tcb2, tcb3, bmode_cost_d, rdm_f, rdd_f)
+            tcb0, tcb1, tcb2,
+            tcb3 if has_bpred else None,
+            bmode_cost_d if has_bpred else None, rdm_f, rdd_f)
         qcoeff, eobs, uv_mode, bmodes = jax.device_get(
             (qcoeff, eobs, uv_mode_d, bmodes_d))
 
@@ -630,24 +643,35 @@ class TPUEncoder(Encoder):
             ref_id_arr[np.clip(refk, 0, len(ref_ids) - 1)].reshape(R, C))
         self.mv[1:, 1:, 0] = mv8[:, 0].reshape(R, C)
         self.mv[1:, 1:, 1] = mv8[:, 1].reshape(R, C)
-        # map chosen MVs to the cheapest coding mode at pack time
+        # map chosen MVs to the cheapest coding mode at pack time (exact
+        # near-MV lattice; C++ fast path, per-MB Python golden fallback)
         if not keyframe:
-            for r in range(R):
-                for c in range(C):
-                    if self.reff[r + 1, c + 1] == INTRA_FRAME:
-                        continue
-                    mvv = (int(self.mv[r + 1, c + 1, 0]),
-                           int(self.mv[r + 1, c + 1, 1]))
-                    if mvv == (0, 0):
-                        self.mode[r + 1, c + 1] = ZEROMV
-                    else:
-                        near, nearest, best, probs, cnt = self._find_near(r, c)
-                        if mvv == nearest:
-                            self.mode[r + 1, c + 1] = NEARESTMV
-                        elif mvv == near:
-                            self.mode[r + 1, c + 1] = NEARMV
+            from ..utils import native as _native
+            _lib = _native.get_lib()
+            if _lib is not None and getattr(_lib, "vp8e_map_mv_modes",
+                                            None):
+                # the skip grid is computed below; the lattice does not
+                # read it, pass zeros
+                self.skip = np.zeros((R, C), np.int32)
+                _native.map_mv_modes_native(_lib, self)
+            else:
+                for r in range(R):
+                    for c in range(C):
+                        if self.reff[r + 1, c + 1] == INTRA_FRAME:
+                            continue
+                        mvv = (int(self.mv[r + 1, c + 1, 0]),
+                               int(self.mv[r + 1, c + 1, 1]))
+                        if mvv == (0, 0):
+                            self.mode[r + 1, c + 1] = ZEROMV
                         else:
-                            self.mode[r + 1, c + 1] = NEWMV
+                            near, nearest, best, probs, cnt = \
+                                self._find_near(r, c)
+                            if mvv == nearest:
+                                self.mode[r + 1, c + 1] = NEARESTMV
+                            elif mvv == near:
+                                self.mode[r + 1, c + 1] = NEARMV
+                            else:
+                                self.mode[r + 1, c + 1] = NEWMV
 
         # skip decision (B_PRED MBs have no Y2: e[24]==0, Y eobs start-0)
         self.skip = np.zeros((R, C), np.int32)

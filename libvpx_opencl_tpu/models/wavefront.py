@@ -22,6 +22,7 @@ chronological write order of the reference's raster scan, loopfilter.c:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +32,11 @@ from ..ops import loopfilter as lfops
 from ..ops import predict as P
 
 SENT = 0  # sentinel lane; validity carried by masks
-KD = 16   # diagonals processed per scan step (amortizes per-step overhead)
+# Diagonals processed per scan step: amortizes per-step dispatch overhead
+# on TPU (16), but the traced graph contains KD copies of the diagonal
+# body, so compile time is ~linear in KD. CPU test/dryrun environments set
+# VP8TPU_KD=2 to compile ~8x faster; results are identical for any KD.
+KD = int(os.environ.get("VP8TPU_KD", "16"))
 
 
 @functools.lru_cache(maxsize=16)

@@ -37,7 +37,8 @@ def _sad_kernel(n_c, step, rng, win_ref, src_ref, out_ref):
         strip = win_ref[i * step:i * step + 16, :, :]      # [16, W, LANES]
 
         def col(jc, _):
-            blk = strip[:, pl.ds(jc * step, 16), :]        # [16,16,LANES]
+            blk = jax.lax.dynamic_slice_in_dim(
+                strip, jc * step, 16, axis=1)              # [16,16,LANES]
             sad = jnp.sum(jnp.abs(blk - src), axis=(0, 1))  # [LANES]
             out_ref[pl.ds(i * n_c + jc, 1), :] = sad[None]
             return 0

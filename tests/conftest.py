@@ -10,6 +10,9 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=8").strip()
+# Small wavefront unroll on CPU: compile time is ~linear in KD and the
+# results are KD-invariant (models/wavefront.py); the CI box has 2 cores.
+os.environ.setdefault("VP8TPU_KD", "2")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
