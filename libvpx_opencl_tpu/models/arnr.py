@@ -52,12 +52,21 @@ def _weighted_accumulate(base, pred, strength, weight, accum, count):
 
 
 def synthesize_altref(frames, alt_index, strength=6, max_frames=5,
-                      mc_range=7):
+                      mc_range=7, device=False):
     """Synthesize the altref planes from `frames` (list of (y,u,v) uint8)
     centered at alt_index (center blur, arnr_type 3 of
     vp8_temporal_filter_prepare_c, temporal_filter.c:431-505).
 
+    device=True runs the motion match and the weighted accumulation on
+    the JAX device (ops/analysis_device.py — the vp8_temporal_filter
+    SIMD-backend role); bit-identical to the host path
+    (tests/test_analysis_device.py).
+
     Returns (y, u, v) uint8 planes of the filtered frame."""
+    if device:
+        from ..ops import analysis_device as _AD
+    else:
+        _AD = None
     n = len(frames)
     avail_back = alt_index
     avail_fwd = n - alt_index - 1
@@ -85,7 +94,12 @@ def synthesize_altref(frames, alt_index, strength=6, max_frames=5,
             py, pu, pv = fy, fu, fv
         else:
             # whole-frame vectorized match on the 16-padded grid
-            dy, dx, sse = _match_all(_pad16(cy), _pad16(fy), mc_range)
+            if _AD is not None:
+                dy, dx, sse, _ = [np.asarray(x) for x in
+                                  _AD.fullpel_match_device(
+                                      _pad16(cy), _pad16(fy), mc_range)]
+            else:
+                dy, dx, sse = _match_all(_pad16(cy), _pad16(fy), mc_range)
             wmap = np.where(sse < THRESH_LOW, 2,
                             np.where(sse < THRESH_HIGH, 1, 0)) \
                 .astype(np.int32)
@@ -118,9 +132,25 @@ def synthesize_altref(frames, alt_index, strength=6, max_frames=5,
         wy = np.repeat(np.repeat(wmap, 16, 0), 16, 1)[:h, :w]
         wc = np.repeat(np.repeat(wmap, 8, 0), 8, 1)[:cu.shape[0],
                                                     :cu.shape[1]]
-        _weighted_accumulate(cy, py, strength, wy, acc_y, cnt_y)
-        _weighted_accumulate(cu, pu, strength, wc, acc_u, cnt_u)
-        _weighted_accumulate(cv, pv, strength, wc, acc_v, cnt_v)
+        if _AD is not None:
+            acc_y, cnt_y = _AD.temporal_filter_apply_device(
+                cy, py, strength, wy, acc_y, cnt_y)
+            acc_u, cnt_u = _AD.temporal_filter_apply_device(
+                cu, pu, strength, wc, acc_u, cnt_u)
+            acc_v, cnt_v = _AD.temporal_filter_apply_device(
+                cv, pv, strength, wc, acc_v, cnt_v)
+        else:
+            _weighted_accumulate(cy, py, strength, wy, acc_y, cnt_y)
+            _weighted_accumulate(cu, pu, strength, wc, acc_u, cnt_u)
+            _weighted_accumulate(cv, pv, strength, wc, acc_v, cnt_v)
+
+    if _AD is not None:
+        return (np.asarray(_AD.temporal_filter_normalize_device(
+                    acc_y, cnt_y, cy)),
+                np.asarray(_AD.temporal_filter_normalize_device(
+                    acc_u, cnt_u, cu)),
+                np.asarray(_AD.temporal_filter_normalize_device(
+                    acc_v, cnt_v, cv)))
 
     def norm(acc, cnt, base):
         cnt1 = np.maximum(cnt, 1)
