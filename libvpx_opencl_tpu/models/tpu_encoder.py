@@ -41,6 +41,25 @@ from .tpu_decoder import B, B2, DeviceFrame, _extend_borders
 _TCB = None
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _blockify(R, C, y_pl, u_pl, v_pl):
+    """Source planes (uint8, device) -> per-MB int32 blocks on device.
+    Replaces the redundant host-side int32 block upload (at 720p: ~5.5
+    MB/frame over the host->TPU link for data already present as the
+    uint8 planes)."""
+    iy = jax.lax.dynamic_slice(y_pl, (B, B), (R * 16, C * 16)) \
+        .astype(jnp.int32)
+    iu = jax.lax.dynamic_slice(u_pl, (B2, B2), (R * 8, C * 8)) \
+        .astype(jnp.int32)
+    iv = jax.lax.dynamic_slice(v_pl, (B2, B2), (R * 8, C * 8)) \
+        .astype(jnp.int32)
+    yb = iy.reshape(R, 16, C, 16).transpose(0, 2, 1, 3) \
+        .reshape(R * C, 16, 16)
+    ub = iu.reshape(R, 8, C, 8).transpose(0, 2, 1, 3).reshape(R * C, 8, 8)
+    vb = iv.reshape(R, 8, C, 8).transpose(0, 2, 1, 3).reshape(R * C, 8, 8)
+    return yb, ub, vb
+
+
 def _tcb_tables():
     """Banded device token-cost tables under the default coefficient
     probabilities (the golden encoder's _tc model).  Types: 0 Y-with-Y2,
@@ -309,14 +328,16 @@ def _decide_rd_key(R, C, src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
     return ymode, uvbest
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _encode_device(R, C, refs_y, refs_u, refs_v, refk,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _encode_device(R, C, use_trellis, refs_y, refs_u, refs_v, refk,
                    src_y_blocks, src_u_blocks, src_v_blocks,
                    mode, uv_mode, intra, mv8, taps, dq_y1, dq_y2, dq_uv,
                    qidx, tcb0, tcb1, tcb2, tcb3, bmode_cost,
                    rdmult, rddiv):
     """Program B: MC preds (per-MB reference selection) + encode
-    wavefront."""
+    wavefront.  use_trellis statically prunes the whole-frame optimize_b
+    pass (SpeedFeatures.trellis, the vp8_optimize_mby role) from the
+    traced graph on the fast ladder."""
     N = R * C
     sch = wf.schedule(R, C)
     mb = jnp.arange(N)
@@ -342,6 +363,18 @@ def _encode_device(R, C, refs_y, refs_u, refs_v, refk,
                                  uv_r & 7, taps, 8)
     # chroma intra mode: RD-chosen by the decision program for intra MBs
     uv_mode = jnp.where(intra, uv_mode, DC_PRED)
+
+    if not use_trellis:
+        # fast ladder: the wavefront's in-lane regular quant IS the final
+        # quant (no optimize_b), so the whole-frame ext section is a
+        # no-op — prune it from the graph entirely
+        qcoeff, eobs, ry, ru, rv, bmodes = wf.encode_recon_blocks(
+            R, C, sch, src_y_blocks, src_u_blocks, src_v_blocks,
+            pred_y, pred_u, pred_v, mode, uv_mode, intra, dq_y1, dq_y2,
+            dq_uv, qidx, None, None, None, tcb3, bmode_cost, rdmult,
+            rddiv)
+        return (qcoeff.astype(jnp.int16), eobs.astype(jnp.int32), uv_mode,
+                ry, ru, rv, bmodes)
 
     # whole-frame trellis (optimize_b) for inter MBs: their predictions
     # don't depend on the wavefront carry, so transform+quant+trellis run
@@ -476,15 +509,7 @@ class TPUEncoder(Encoder):
         src_y_pl = j(src.y)
         src_u_pl = j(src.u)
         src_v_pl = j(src.v)
-        iy = src.y[bb:bb + R * 16, bb:bb + C * 16]
-        iu = src.u[bb2:bb2 + R * 8, bb2:bb2 + C * 8]
-        iv = src.v[bb2:bb2 + R * 8, bb2:bb2 + C * 8]
-        yb = j(iy.reshape(R, 16, C, 16).transpose(0, 2, 1, 3)
-               .reshape(N, 16, 16).astype(np.int32))
-        ub = j(iu.reshape(R, 8, C, 8).transpose(0, 2, 1, 3)
-               .reshape(N, 8, 8).astype(np.int32))
-        vb = j(iv.reshape(R, 8, C, 8).transpose(0, 2, 1, 3)
-               .reshape(N, 8, 8).astype(np.int32))
+        yb, ub, vb = _blockify(R, C, src_y_pl, src_u_pl, src_v_pl)
         taps = j(np.asarray(P.SIXTAP_TABLE, np.int32))
 
         mbr = np.arange(N) // C
@@ -618,7 +643,8 @@ class TPUEncoder(Encoder):
         # 16-step sub-block recursion from the traced graph entirely)
         has_bpred = bool((ymode == 4).any())
         qcoeff, eobs, uv_mode_d, ry, ru, rv, bmodes_d = _encode_device(
-            R, C, enc_refs_y, enc_refs_u, enc_refs_v, j(refk), yb, ub, vb,
+            R, C, bool(self.sf.trellis),
+            enc_refs_y, enc_refs_u, enc_refs_v, j(refk), yb, ub, vb,
             mode_dev, j(uvmode),
             j(intra), j(mv8.astype(np.int32)), taps, dq1, dq2, dqu, qidx,
             tcb0, tcb1, tcb2,

@@ -219,22 +219,23 @@ def trellis_batch(coefs, q, dq, tcb, i0, plane_rd_mult, ctx, rdmult, rddiv):
         return jnp.einsum('...c,...t,ct->...', oc, ot, tcb_pos)
 
     z = jnp.zeros(shape, jnp.float32)
-    rate = [z, z]
-    err = [z, z]
-    tok = [jnp.full(shape, EOB, jnp.int32), jnp.full(shape, EOB, jnp.int32)]
-    next_pos = eob.astype(jnp.int32)
-    qc = [jnp.zeros((*shape, 16), jnp.int32) for _ in range(2)]
-    bb = [jnp.zeros((*shape, 16), jnp.int32) for _ in range(2)]
-    nxtp = jnp.zeros((*shape, 16), jnp.int32)
 
-    for i in range(15, i0 - 1, -1):
+    # Backward Viterbi as a lax.scan over coefficient positions (the
+    # body is traced ONCE instead of 16x — the unrolled form dominated
+    # _encode_device's XLA compile time).  Identical math per step.
+    def bstep(carry, i):
+        rate0, rate1, err0, err1, tok0, tok1, next_pos = carry
+        rate = [rate0, rate1]
+        err = [err0, err1]
+        tok = [tok0, tok1]
         active = i < eob
-        x = qz[..., i]
-        drc = dq[..., 0] if i == 0 else dq[..., 1]
+        x = jnp.take(qz, i, axis=-1)
+        czi = jnp.take(cz, i, axis=-1)
+        drc = jnp.where(i == 0, dq[..., 0], dq[..., 1])
         drcf = drc.astype(jnp.float32)
         is_nz = active & (x != 0)
         is_z = active & (x == 0)
-        tcb_n = tcb[min(i + 1, 15)]
+        tcb_n = tcb[jnp.minimum(i + 1, 15)]
         ax = jnp.abs(x)
         t0 = _token_of(ax)
         # ---- candidate 0: keep the level ----
@@ -244,13 +245,13 @@ def trellis_batch(coefs, q, dq, tcb, i0, plane_rd_mult, ctx, rdmult, rddiv):
         best0 = (rdc_f(r0[1], err[1]) < rdc_f(r0[0], err[0])) \
             .astype(jnp.float32)
         base0 = _value_cost(ax, t0).astype(jnp.float32)
-        dx = x.astype(jnp.float32) * drcf - cz[..., i].astype(jnp.float32)
+        dx = x.astype(jnp.float32) * drcf - czi.astype(jnp.float32)
         nrate0 = base0 + (1 - best0) * r0[0] + best0 * r0[1]
         nerr0 = dx * dx + (1 - best0) * err[0] + best0 * err[1]
         # ---- candidate 1: one step toward zero (when requantization
         # still brackets the true coefficient) ----
-        shortcut = (ax * drc > jnp.abs(cz[..., i])) & \
-                   (ax * drc < jnp.abs(cz[..., i]) + drc)
+        shortcut = (ax * drc > jnp.abs(czi)) & \
+                   (ax * drc < jnp.abs(czi) + drc)
         x1 = jnp.where(shortcut, x - jnp.sign(x), x)
         a1 = jnp.abs(x1)
         t1n = _token_of(a1)
@@ -259,7 +260,8 @@ def trellis_batch(coefs, q, dq, tcb, i0, plane_rd_mult, ctx, rdmult, rddiv):
         pt1 = jnp.minimum(a1, 2)
         g1 = [((next_pos < 16) & (tb[c] != EOB)).astype(jnp.float32)
               for c in range(2)]
-        r1 = [rate[c] + g1[c] * price(tcb_n, pt1, tok[c]) for c in range(2)]
+        r1 = [rate[c] + g1[c] * price(tcb_n, pt1, tok[c])
+              for c in range(2)]
         best1 = (rdc_f(r1[1], err[1]) < rdc_f(r1[0], err[0])) \
             .astype(jnp.float32)
         base1 = _value_cost(a1, t1n).astype(jnp.float32)
@@ -269,19 +271,16 @@ def trellis_batch(coefs, q, dq, tcb, i0, plane_rd_mult, ctx, rdmult, rddiv):
         nerr1 = dx1 * dx1 + (1 - best1) * err[0] + best1 * err[1]
         b1i = best1.astype(jnp.int32)
         ntok1 = jnp.where(b1i == 1, tb[1], tb[0])
-        # ---- record chain outputs, update state (nonzero positions) ----
-        qc[0] = qc[0].at[..., i].set(jnp.where(is_nz, x, 0))
-        qc[1] = qc[1].at[..., i].set(jnp.where(is_nz, x1, 0))
-        bb[0] = bb[0].at[..., i].set(best0.astype(jnp.int32))
-        bb[1] = bb[1].at[..., i].set(b1i)
-        nxtp = nxtp.at[..., i].set(next_pos)
+        # ---- per-step chain outputs, state update (nonzero positions) --
+        out = (jnp.where(is_nz, x, 0), jnp.where(is_nz, x1, 0),
+               best0.astype(jnp.int32), b1i, next_pos)
         nz_f = is_nz.astype(jnp.float32)
-        rate[0] = nz_f * nrate0 + (1 - nz_f) * rate[0]
-        rate[1] = nz_f * nrate1 + (1 - nz_f) * rate[1]
-        err[0] = nz_f * nerr0 + (1 - nz_f) * err[0]
-        err[1] = nz_f * nerr1 + (1 - nz_f) * err[1]
-        tok[0] = jnp.where(is_nz, t0, tok[0])
-        tok[1] = jnp.where(is_nz, ntok1, tok[1])
+        rate = [nz_f * nrate0 + (1 - nz_f) * rate[0],
+                nz_f * nrate1 + (1 - nz_f) * rate[1]]
+        err = [nz_f * nerr0 + (1 - nz_f) * err[0],
+               nz_f * nerr1 + (1 - nz_f) * err[1]]
+        tok = [jnp.where(is_nz, t0, tok[0]),
+               jnp.where(is_nz, ntok1, tok[1])]
         next_pos = jnp.where(is_nz, i, next_pos)
         # ---- zero positions inside the eob: fold the ZERO token ----
         for c in range(2):
@@ -289,6 +288,29 @@ def trellis_batch(coefs, q, dq, tcb, i0, plane_rd_mult, ctx, rdmult, rddiv):
             rate[c] = rate[c] + pz.astype(jnp.float32) * \
                 price(tcb_n, jnp.zeros_like(tok[c]), tok[c])
             tok[c] = jnp.where(pz, 0, tok[c])
+        return (rate[0], rate[1], err[0], err[1], tok[0], tok[1],
+                next_pos), out
+
+    init = (z, z, z, z, jnp.full(shape, EOB, jnp.int32),
+            jnp.full(shape, EOB, jnp.int32), eob.astype(jnp.int32))
+    idxs = jnp.arange(15, i0 - 1, -1)
+    (r0f, r1f, e0f, e1f, tk0f, tk1f, next_pos), ys = jax.lax.scan(
+        bstep, init, idxs)
+    rate = [r0f, r1f]
+    err = [e0f, e1f]
+    tok = [tk0f, tk1f]
+    # stack per-step outputs (emitted for i = 15 .. i0) back into
+    # position-indexed [..., 16] arrays
+    def unstack(y):
+        a = jnp.moveaxis(y, 0, -1)[..., ::-1]   # positions i0..15
+        if i0:
+            a = jnp.concatenate(
+                [jnp.zeros((*shape, i0), jnp.int32), a], axis=-1)
+        return a
+
+    qc = [unstack(ys[0]), unstack(ys[1])]
+    bb = [unstack(ys[2]), unstack(ys[3])]
+    nxtp = unstack(ys[4])
 
     # base transition at i0 under the true entropy context
     tcb_b = tcb[i0]
