@@ -71,12 +71,14 @@ def _tcb_tables():
     return _TCB
 
 
-def _uv_inter_rd(R, C, ref_u, ref_v, ub, vb, mv8, taps, dqu, qidx, tcb2):
+def _uv_inter_rd(R, C, ref_u, ref_v, ub, vb, mv8, taps, dqu, qidx, tcb2,
+                 row_off=0):
     """Chroma rate/dist of an inter candidate: derive the chroma MV
-    (reconinter.c:418-424), MC-predict, cost (rd_inter16x16_uv role)."""
+    (reconinter.c:418-424), MC-predict, cost (rd_inter16x16_uv role).
+    row_off: global MB-row of local row 0 (row-sharded callers)."""
     N = R * C
     mb = jnp.arange(N)
-    mb_r, mb_c = mb // C, mb % C
+    mb_r, mb_c = mb // C + row_off, mb % C
     w_r = mv8[:, 0] + jnp.where(mv8[:, 0] >= 0, 1, -1)
     w_c = mv8[:, 1] + jnp.where(mv8[:, 1] >= 0, 1, -1)
     uv_r = jnp.sign(w_r) * (jnp.abs(w_r) // 2)
@@ -93,14 +95,18 @@ def _uv_inter_rd(R, C, ref_u, ref_v, ub, vb, mv8, taps, dqu, qidx, tcb2):
 
 
 def _uv_intra_rd(R, C, src_u_pl, src_v_pl, ub, vb, dqu, qidx, tcb2,
-                 uvmode_cost, rdmult, rddiv):
+                 uvmode_cost, rdmult, rddiv, row_off=0):
     """RD-pick the chroma intra mode (rd_pick_intra_mbuv_mode role).
     Returns (best mode [N], its rate incl. signaling [N], dist [N])."""
     N = R * C
     mb = jnp.arange(N)
-    cpos = jnp.stack([B2 + (mb // C) * 8, B2 + (mb % C) * 8], 1)
-    ipu = jnp.moveaxis(ME.intra_mode_preds(src_u_pl, cpos, R, C, 8), 1, 0)
-    ipv = jnp.moveaxis(ME.intra_mode_preds(src_v_pl, cpos, R, C, 8), 1, 0)
+    cpos = jnp.stack([B2 + (mb // C + row_off) * 8, B2 + (mb % C) * 8], 1)
+    ipu = jnp.moveaxis(
+        ME.intra_mode_preds(src_u_pl, cpos, R, C, 8, row_off=row_off),
+        1, 0)
+    ipv = jnp.moveaxis(
+        ME.intra_mode_preds(src_v_pl, cpos, R, C, 8, row_off=row_off),
+        1, 0)
     dqub = jnp.broadcast_to(dqu[None], (4, N, 2))
     qxb = jnp.broadcast_to(qidx[None], (4, N))
     ruv, duv = RD.rd_uv(ub[None] - ipu, vb[None] - ipv, dqub, qxb, tcb2)
@@ -454,6 +460,14 @@ class TPUEncoder(Encoder):
     + reconstruction + loop filter device-side; entropy packing host-side).
     """
 
+    # device-program dispatch hooks: the sharded multi-chip encoder
+    # (parallel/sharded_encode.ShardedTPUEncoder) overrides these with
+    # shard_map'd equivalents of identical global-view signatures
+    _decide_key_fn = staticmethod(_decide_rd_key)
+    _decide_inter_fn = staticmethod(_decide_rd_inter)
+    _encode_fn = staticmethod(_encode_device)
+    _lf_fn = staticmethod(_lf_device)
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         R, C = self.R, self.C
@@ -561,7 +575,7 @@ class TPUEncoder(Encoder):
             intra = np.ones(N, bool)
             refk = np.full(N, -1, np.int32)
             ref_ids = [LAST_FRAME]
-            ymode_d, uvb_d = _decide_rd_key(
+            ymode_d, uvb_d = self._decide_key_fn(
                 R, C, src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
                 tcb0, tcb1, tcb2, dq1, dq2, dqu, qidx, rdm_f, rdd_f,
                 j(np.asarray(rdopt.KF_YMODE_COST[:4], np.int32)),
@@ -613,7 +627,7 @@ class TPUEncoder(Encoder):
             c0tab = j(rdopt._C0.astype(np.int32))
             c1tab = j(rdopt._C1.astype(np.int32))
             me_step = 1 if self.sf.exhaustive_me else 2
-            mv8_d, refk_d, ymode_d, uvb_d = _decide_rd_inter(
+            mv8_d, refk_d, ymode_d, uvb_d = self._decide_inter_fn(
                 R, C, n_refs, me_step, bool(self.sf.bpred),
                 refs_y, refs_u, refs_v,
                 src_y_pl, src_u_pl, src_v_pl, yb, ub, vb,
@@ -642,7 +656,7 @@ class TPUEncoder(Encoder):
         # smaller no-B_PRED encode wavefront variant (tcb3=None prunes the
         # 16-step sub-block recursion from the traced graph entirely)
         has_bpred = bool((ymode == 4).any())
-        qcoeff, eobs, uv_mode_d, ry, ru, rv, bmodes_d = _encode_device(
+        qcoeff, eobs, uv_mode_d, ry, ru, rv, bmodes_d = self._encode_fn(
             R, C, bool(self.sf.trellis),
             enc_refs_y, enc_refs_u, enc_refs_v, j(refk), yb, ub, vb,
             mode_dev, j(uvmode),
@@ -717,7 +731,7 @@ class TPUEncoder(Encoder):
         j = jnp.asarray
         flevel, mblim_a, blim_a, lim_a, hev_a, noskip_a = \
             self._lf_params(keyframe)
-        lf_out = _lf_device(R, C, self.filter_level > 0, ry, ru, rv,
+        lf_out = self._lf_fn(R, C, self.filter_level > 0, ry, ru, rv,
                             j(flevel), j(mblim_a), j(blim_a), j(lim_a),
                             j(hev_a), j(noskip_a))
         payload = self._pack(keyframe)

@@ -67,7 +67,19 @@ def full_search(ref_plane, src_blocks, centers, mb_pos, mv_pen=None,
             rows.append(sad)
         return jnp.stack(rows, axis=1), cands  # [N,k,k]
 
-    sads, cands = grid_sads(win, step, -RNG, RNG)
+    import os as _os
+    if (step == 1 and jax.default_backend() == "tpu"
+            and _os.environ.get("VP8TPU_PALLAS_ME") == "1"):
+        # alternative VMEM-resident Pallas backend (integer-identical
+        # SADs).  Off by default: measured on v5e at 720p the XLA grid
+        # runs 42 ms vs 537 ms for the correlation-form kernel — XLA's
+        # fusion already streams the candidate strips well (see
+        # ops/me_pallas.py docstring for the measurement).
+        from . import me_pallas
+        sads = me_pallas.sad_grid_pallas(win, src_blocks, RNG)
+        cands = list(range(-RNG, RNG + 1))
+    else:
+        sads, cands = grid_sads(win, step, -RNG, RNG)
     k = len(cands)
     if mv_pen is not None:
         # MV-rate costing over the whole grid (vp8_full_search_sad's
@@ -87,9 +99,14 @@ def full_search(ref_plane, src_blocks, centers, mb_pos, mv_pen=None,
     best = jnp.argmin(flat, axis=1)
     bdy = jnp.asarray(cands)[best // k]
     bdx = jnp.asarray(cands)[best % k]
-    # +-1 refine (9 candidates, clamped inside the window)
     best_sad = jnp.min(flat, axis=1)
     bmv = jnp.stack([bdy, bdx], axis=1)
+    if step == 1:
+        # exhaustive grid already contains every +-1 neighbor (same SAD
+        # + same penalty formula), so the refine below cannot find a
+        # strictly better candidate — skip its 8 gather passes
+        return bmv + centers, best_sad
+    # +-1 refine (9 candidates, clamped inside the window)
     for ddy in (-1, 0, 1):
         for ddx in (-1, 0, 1):
             if ddy == 0 and ddx == 0:
@@ -154,7 +171,8 @@ def subpel_refine(ref_plane, src_blocks, mb_pos, mv_fp, best_sad, taps,
     return mv, best_sad
 
 
-def near_mv_lattice(mvf, R, C):
+def near_mv_lattice(mvf, R, C, above_mv=None, row_off=0,
+                    n_rows_total=None):
     """Batched vp8_find_near_mvs (findnearmv.c:24-140, decodemv.c:348-407)
     under the device-decision approximation that every in-frame neighbor
     is an inter MB coded with the given motion field (sign bias 0, no
@@ -162,15 +180,28 @@ def near_mv_lattice(mvf, R, C):
     final modes; this one prices NEAREST/NEAR/ZERO candidates during the
     batched decision.
 
-    mvf [N, 2] int32 eighth-pel.  Returns (nearest, near, best) [N, 2]
-    clamped MVs and cnt [N, 4] for MODE_CONTEXTS indexing."""
+    mvf [N, 2] int32 eighth-pel.  Row-sharded callers pass `above_mv`
+    [C, 2] (the neighbor shard's last MV row; zeros + masked out when
+    row_off == 0), `row_off` (global index of local row 0) and
+    `n_rows_total` so the vp8_clamp_mv2 bounds stay frame-global.
+    Returns (nearest, near, best) [N, 2] clamped MVs and cnt [N, 4] for
+    MODE_CONTEXTS indexing."""
+    if n_rows_total is None:
+        n_rows_total = R
     mv = mvf.reshape(R, C, 2)
     zero2 = jnp.zeros((R, C, 2), jnp.int32)
-    amv = jnp.concatenate([zero2[:1], mv[:-1]], 0)
+    if above_mv is None:
+        above_row = zero2[0]
+    else:
+        above_row = above_mv.reshape(C, 2)
+    amv = jnp.concatenate([above_row[None], mv[:-1]], 0)
     lmv = jnp.concatenate([zero2[:, :1], mv[:, :-1]], 1)
+    al_row0 = jnp.concatenate([zero2[0, :1], above_row[:-1]], 0)
     almv = jnp.concatenate(
-        [zero2[:1], jnp.concatenate([zero2[1:, :1], mv[:-1, :-1]], 1)], 0)
-    va = jnp.broadcast_to(jnp.arange(R)[:, None] > 0, (R, C))
+        [al_row0[None],
+         jnp.concatenate([zero2[1:, :1], mv[:-1, :-1]], 1)], 0)
+    grow = jnp.arange(R)[:, None] + row_off
+    va = jnp.broadcast_to(grow > 0, (R, C))
     vl = jnp.broadcast_to(jnp.arange(C)[None, :] > 0, (R, C))
     val = va & vl
 
@@ -227,11 +258,11 @@ def near_mv_lattice(mvf, R, C):
     c1 = jnp.where(swap, cnt2, cnt1)
     c2 = jnp.where(swap, cnt1, cnt2)
     best = jnp.where((c1 >= cnt0)[..., None], n1, 0)
-    # vp8_clamp_mv2 bounds (MARGIN = 16<<3)
-    rows = jnp.arange(R)[:, None]
+    # vp8_clamp_mv2 bounds (MARGIN = 16<<3), frame-global rows
+    rows = jnp.arange(R)[:, None] + row_off
     cols = jnp.arange(C)[None, :]
     lo_r = (-(rows * 16) << 3) - 128
-    hi_r = (((R - 1 - rows) * 16) << 3) + 128
+    hi_r = (((n_rows_total - 1 - rows) * 16) << 3) + 128
     lo_c = (-(cols * 16) << 3) - 128
     hi_c = (((C - 1 - cols) * 16) << 3) + 128
 
@@ -245,10 +276,14 @@ def near_mv_lattice(mvf, R, C):
             clamp(best).reshape(N, 2), cnt)
 
 
-def intra_mode_preds(src_plane, mb_pos, n_rows, n_cols, bw):
+def intra_mode_preds(src_plane, mb_pos, n_rows, n_cols, bw, row_off=0):
     """Batched DC/V/H/TM 16x16/8x8 predictions from SOURCE neighbors
     (decision approximation; reconstruction later uses true recon
-    neighbors in the wavefront).  Returns [N, 4, bw, bw] int32."""
+    neighbors in the wavefront).  Returns [N, 4, bw, bw] int32.
+
+    row_off: global MB-row index of local row 0 (row-sharded callers —
+    the 127-fill boundary condition applies only at the true frame
+    top)."""
     n = mb_pos.shape[0]
 
     def gather(py, px):
@@ -261,7 +296,7 @@ def intra_mode_preds(src_plane, mb_pos, n_rows, n_cols, bw):
     above_x, left_x = jax.vmap(gather)(mb_pos[:, 0], mb_pos[:, 1])
     tl = above_x[:, 0]
     above = above_x[:, 1:]
-    r0 = (jnp.arange(n) // n_cols) == 0
+    r0 = ((jnp.arange(n) // n_cols) + row_off) == 0
     c0 = (jnp.arange(n) % n_cols) == 0
     above = jnp.where(r0[:, None], 127, above)
     left_x = jnp.where(c0[:, None], 129, left_x)

@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--q", type=int, default=24, help="frame qindex")
     ap.add_argument("--w", type=int, default=1280)
     ap.add_argument("--h", type=int, default=720)
+    ap.add_argument("--cpu-used", type=int, default=0,
+                    help="TPU encoder speed level (SpeedFeatures ladder)")
+    ap.add_argument("--skip-ref", action="store_true",
+                    help="skip the reference vpxenc rows")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -73,11 +77,17 @@ def main():
     out = {}
 
     # --- TPU encoder ----------------------------------------------------
-    enc = TPUEncoder(args.w, args.h, qindex=args.q)
-    # warm-up: compile every program variant (KF + inter)
+    enc = TPUEncoder(args.w, args.h, qindex=args.q,
+                     cpu_used=args.cpu_used)
+    # warm-up: compile every program variant (KF + inter at reference-
+    # ring cardinalities 1/2/3 — refresh flags steer the identity dedup)
     enc.encode_frame(*frames[0], keyframe=True)
-    enc.encode_frame(*frames[1], keyframe=False)
-    enc = TPUEncoder(args.w, args.h, qindex=args.q)
+    enc.encode_frame(*frames[1], keyframe=False)          # 2 refs
+    enc.encode_frame(*frames[2], keyframe=False,
+                     refresh_golden=True)                 # gold != alt
+    enc.encode_frame(*frames[1], keyframe=False)          # 3 refs
+    enc = TPUEncoder(args.w, args.h, qindex=args.q,
+                     cpu_used=args.cpu_used)
     t0 = time.time()
     payloads = [enc.encode_frame(*f, keyframe=(i == 0))
                 for i, f in enumerate(frames)]
@@ -86,43 +96,38 @@ def main():
     s = IvfStream(width=args.w, height=args.h)
     s.frames = [(p, i) for i, p in enumerate(payloads)]
     write_ivf(ivf, s)
-    out["tpu"] = {"fps": round(len(frames) / dt, 2),
-                  "bytes": sum(len(p) for p in payloads),
-                  "psnr_y": round(_psnr_stream(ivf, frames), 2)}
+    out[f"tpu_speed{args.cpu_used}"] = {
+        "fps": round(len(frames) / dt, 2),
+        "bytes": sum(len(p) for p in payloads),
+        "psnr_y": round(_psnr_stream(ivf, frames), 2)}
 
     # --- reference vpxenc (single core, generic C) ----------------------
     vpxenc = os.path.join(REF, "vpxenc")
-    if os.path.exists(vpxenc):
+    if os.path.exists(vpxenc) and not args.skip_ref:
         y4m = "/tmp/bench_enc.y4m"
         write_y4m(y4m, frames, args.w, args.h)
         cli_q = min(range(64), key=lambda i: abs(Q_TRANS[i] - args.q))
-        ref_ivf = "/tmp/bench_enc_ref.ivf"
-        cmd = [vpxenc, "--codec=vp8", "-o", ref_ivf, y4m, "--ivf",
-               "--good", "--cpu-used=4", "--end-usage=0",
-               "--target-bitrate=8000", f"--min-q={cli_q}",
-               f"--max-q={cli_q}", "--kf-max-dist=9999",
-               "--passes=1", "--threads=1", "-t", "1"]
-        t0 = time.time()
-        subprocess.run(cmd, check=True, capture_output=True)
-        dt = time.time() - t0
-        out["ref_vpxenc_good4"] = {
-            "fps": round(len(frames) / dt, 2),
-            "bytes": os.path.getsize(ref_ivf) - 32 - 12 * len(frames),
-            "psnr_y": round(_psnr_stream(ref_ivf, frames), 2)}
+
+        def ref_row(tag, extra):
+            ivf_p = f"/tmp/bench_enc_{tag}.ivf"
+            cmd = [vpxenc, "--codec=vp8", "-o", ivf_p, y4m, "--ivf",
+                   "--end-usage=0", "--target-bitrate=8000",
+                   f"--min-q={cli_q}", f"--max-q={cli_q}",
+                   "--kf-max-dist=9999", "--passes=1", "--threads=1",
+                   "-t", "1"] + extra
+            t0 = time.time()
+            subprocess.run(cmd, check=True, capture_output=True)
+            dt = time.time() - t0
+            out[f"ref_vpxenc_{tag}"] = {
+                "fps": round(len(frames) / dt, 2),
+                "bytes": os.path.getsize(ivf_p) - 32 - 12 * len(frames),
+                "psnr_y": round(_psnr_stream(ivf_p, frames), 2)}
+
+        # quality-matched point for our speed-0 (vpxenc's best quality)
+        ref_row("good0", ["--good", "--cpu-used=0"])
+        ref_row("good4", ["--good", "--cpu-used=4"])
         # realtime speed point (the fork's fastest honest CPU config)
-        rt_ivf = "/tmp/bench_enc_rt.ivf"
-        cmd = [vpxenc, "--codec=vp8", "-o", rt_ivf, y4m, "--ivf",
-               "--rt", "--cpu-used=8", "--end-usage=0",
-               "--target-bitrate=8000", f"--min-q={cli_q}",
-               f"--max-q={cli_q}", "--kf-max-dist=9999",
-               "--passes=1", "--threads=1", "-t", "1"]
-        t0 = time.time()
-        subprocess.run(cmd, check=True, capture_output=True)
-        dt = time.time() - t0
-        out["ref_vpxenc_rt8"] = {
-            "fps": round(len(frames) / dt, 2),
-            "bytes": os.path.getsize(rt_ivf) - 32 - 12 * len(frames),
-            "psnr_y": round(_psnr_stream(rt_ivf, frames), 2)}
+        ref_row("rt8", ["--rt", "--cpu-used=8"])
     print(json.dumps(out))
 
 
