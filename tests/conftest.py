@@ -27,3 +27,19 @@ VECTOR_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vectors")
 
 def vector(name):
     return os.path.join(VECTOR_DIR, name)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    A full-suite run accumulates hundreds of XLA:CPU executables in one
+    process; past a threshold the next backend_compile segfaults inside
+    LLVM (reproduced twice at different tests, never standalone —
+    jax/jaxlib 0.9.0). Programs are rarely shared across modules (they
+    are keyed by geometry), so per-module clearing costs little."""
+    yield
+    jax.clear_caches()
