@@ -125,21 +125,29 @@ def _bpred_rd(R, C, src_y_pl, yb, dq1, qidx, tcb3, bmode_cost,
     Per-subblock best-of-10 under ctx-0 token rates, then the MB rate is
     re-costed with within-MB chained contexts.  Returns (rate, dist) [N]."""
     N = R * C
-    mb = jnp.arange(N)
-    mb_r, mb_c = mb // C, mb % C
-    sub = jnp.arange(16)
-    si, sj = sub // 4, sub % 4
-    py = (B + mb_r[:, None] * 16 + si[None, :] * 4).reshape(-1)
-    px = (B + mb_c[:, None] * 16 + sj[None, :] * 4).reshape(-1)
+    # neighbor pixels for EVERY 4x4 sub-block position at once via
+    # static strided slices of the padded source plane (the vmapped
+    # per-block dynamic_slice formulation gathered 3x16*N tiny windows
+    # — pure TPU gather overhead; identical pixel values)
+    SR, SC = 4 * R, 4 * C                       # sub-block grid
+    rows_a = src_y_pl[B - 1:B - 1 + 16 * R:4, :].astype(jnp.int32)
+    # above8: cols [x0, x0+8) for x0 = B + 4j -> two adjacent 4-tiles
+    cols = rows_a[:, B:B + 16 * C + 4]          # one extra tile right
+    tiles = cols[:, :4 * (SC + 1)].reshape(SR, SC + 1, 4)
+    a8g = jnp.concatenate([tiles[:, :SC], tiles[:, 1:SC + 1]], axis=2)
+    # l4: rows [y0, y0+4) at col x0-1
+    colw = src_y_pl[B:B + 16 * R, B - 1:B - 1 + 16 * C:4] \
+        .astype(jnp.int32)                       # [16R, SC]
+    l4g = colw.reshape(SR, 4, SC).transpose(0, 2, 1)   # [SR, SC, 4]
+    tlg = rows_a[:, B - 1:B - 1 + 16 * C:4]             # [SR, SC]
+    # raster sub-block grid -> MB-major (mb, k) order: pure reshape
+    def to_mb_major(x):
+        t = x.reshape(R, 4, C, 4, *x.shape[2:])
+        return jnp.moveaxis(t, 2, 1).reshape(N * 16, *x.shape[2:])
 
-    def gather(y, x):
-        a8 = jax.lax.dynamic_slice(src_y_pl, (y - 1, x), (1, 8))[0]
-        l4 = jax.lax.dynamic_slice(src_y_pl, (y, x - 1), (4, 1))[:, 0]
-        t = jax.lax.dynamic_slice(src_y_pl, (y - 1, x - 1), (1, 1))[0, 0]
-        return (a8.astype(jnp.int32), l4.astype(jnp.int32),
-                t.astype(jnp.int32))
-
-    a8, l4, tl = jax.vmap(gather)(py, px)
+    a8 = to_mb_major(a8g)
+    l4 = to_mb_major(l4g)
+    tl = to_mb_major(tlg)
     preds = jnp.stack(jax.vmap(P.bpred_4x4_all)(a8, l4, tl), 0)  # [10,NB,4,4]
     NB = N * 16
     src4 = RD._mb_blocks(yb).reshape(NB, 4, 4)
